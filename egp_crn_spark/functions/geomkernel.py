@@ -1,0 +1,208 @@
+"""Vectorized numpy geometry kernels — the exact-refinement layer.
+
+These run ONLY inside Arrow-batched pandas UDFs / applyInPandas, after a
+Morton-cell equi-join prefilter has reduced candidates (SURVEY.md §2.3).
+They replace the reference's shapely predicates (`intersects`, `within`,
+`crosses`, `overlaps`, `is_simple`, `intersection().area`, linear
+referencing — /root/reference/src/topology/validate_topology.py and
+src/helpers.py) with dependency-free numpy implementations, since the
+sandbox has no shapely/GEOS.
+
+Conventions: a polygon is an (n, 2) float array of ring vertices in any
+orientation, NOT closed (last != first); a polyline is an (n, 2) array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-9
+
+
+# ---------------------------------------------------------------- predicates
+def points_in_polygon(xs: np.ndarray, ys: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast point-in-polygon (boundary counts as inside).
+
+    Reference parity: shapely `within`/`covered_by` probes
+    (link_arcs.py:92-97, validate_meshblock.py:378-380).
+    """
+    n = len(poly)
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    inside = np.zeros(len(xs), dtype=bool)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    for i in range(n):
+        ax, ay, bx, by = x1[i], y1[i], x2[i], y2[i]
+        cond = (ay > ys) != (by > ys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (ys - ay) * (bx - ax) / (by - ay)
+        inside ^= cond & (xs < xint)
+    return inside
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Shoelace area."""
+    x, y = poly[:, 0], poly[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def _is_ccw(poly: np.ndarray) -> bool:
+    x, y = poly[:, 0], poly[:, 1]
+    return (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) > 0
+
+
+def convex_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip ``subject`` polygon by CONVEX ``clip``.
+
+    Returns the (possibly empty) intersection polygon. Exactness path for
+    the conflation occupation area (conflate_meshblock.py:115-117) when
+    boundaries are convex (grid/Voronoi tiles).
+    """
+    if not _is_ccw(clip):
+        clip = clip[::-1]
+    out = subject
+    m = len(clip)
+    for i in range(m):
+        if len(out) == 0:
+            return np.empty((0, 2))
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % m]
+        # signed distance to clip edge (positive = inside for CCW clip)
+        px_, py_ = out[:, 0], out[:, 1]
+        d = (bx - ax) * (py_ - ay) - (by - ay) * (px_ - ax)
+        new_pts: list[tuple[float, float]] = []
+        n = len(out)
+        for j in range(n):
+            k = (j + 1) % n
+            dj, dk = d[j], d[k]
+            if dj >= -EPS:
+                new_pts.append((out[j, 0], out[j, 1]))
+            if (dj > EPS and dk < -EPS) or (dj < -EPS and dk > EPS):
+                t = dj / (dj - dk)
+                new_pts.append(
+                    (out[j, 0] + t * (out[k, 0] - out[j, 0]),
+                     out[j, 1] + t * (out[k, 1] - out[j, 1]))
+                )
+        out = np.array(new_pts) if new_pts else np.empty((0, 2))
+    return out
+
+
+def convex_clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
+    inter = convex_clip(subject, clip)
+    return polygon_area(inter) if len(inter) >= 3 else 0.0
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_properly_intersect(
+    p1: np.ndarray, p2: np.ndarray, q1: np.ndarray, q2: np.ndarray
+) -> np.ndarray:
+    """Vectorized proper-crossing test for segment arrays (N,2) each:
+    interiors intersect at a single point (shapely `crosses` on segments,
+    validate_topology.py:285-293)."""
+    d1 = _orient(q1[:, 0], q1[:, 1], q2[:, 0], q2[:, 1], p1[:, 0], p1[:, 1])
+    d2 = _orient(q1[:, 0], q1[:, 1], q2[:, 0], q2[:, 1], p2[:, 0], p2[:, 1])
+    d3 = _orient(p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1], q1[:, 0], q1[:, 1])
+    d4 = _orient(p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1], q2[:, 0], q2[:, 1])
+    return (
+        ((d1 > EPS) & (d2 < -EPS) | (d1 < -EPS) & (d2 > EPS))
+        & ((d3 > EPS) & (d4 < -EPS) | (d3 < -EPS) & (d4 > EPS))
+    )
+
+
+def polylines_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """Do two polylines properly cross (interior crossing, not endpoint
+    touch)? O(na*nb) segment tests — refinement only, after cell prefilter."""
+    na, nb = len(a) - 1, len(b) - 1
+    if na < 1 or nb < 1:
+        return False
+    p1 = np.repeat(a[:-1], nb, axis=0)
+    p2 = np.repeat(a[1:], nb, axis=0)
+    q1 = np.tile(b[:-1], (na, 1))
+    q2 = np.tile(b[1:], (na, 1))
+    return bool(segments_properly_intersect(p1, p2, q1, q2).any())
+
+
+def polyline_is_simple(a: np.ndarray) -> bool:
+    """No self-intersection — shapely `is_simple`, validation 101
+    (validate_topology.py:328-345)."""
+    n = len(a) - 1
+    if n < 2:
+        return True
+    for i in range(n - 1):
+        js = np.arange(i + 1, n)
+        p1 = np.repeat(a[i : i + 1], len(js), axis=0)
+        p2 = np.repeat(a[i + 1 : i + 2], len(js), axis=0)
+        if segments_properly_intersect(p1, p2, a[js], a[js + 1]).any():
+            return False
+    # coincident revisits of a vertex (touch-type non-simplicity) are NOT
+    # flagged here — matches proper-crossing semantics used by validation 101
+    return True
+
+
+# ---------------------------------------------------------------- linear referencing
+def cum_lengths(line: np.ndarray) -> np.ndarray:
+    seg = np.sqrt(((line[1:] - line[:-1]) ** 2).sum(axis=1))
+    return np.concatenate([[0.0], np.cumsum(seg)])
+
+
+def line_interpolate(line: np.ndarray, dist: float) -> np.ndarray:
+    """Point at distance along line — shapely `interpolate`
+    (helpers.py:419,424)."""
+    cl = cum_lengths(line)
+    total = cl[-1]
+    d = min(max(dist, 0.0), total)
+    i = int(np.searchsorted(cl, d, side="right") - 1)
+    i = min(i, len(line) - 2)
+    seg = cl[i + 1] - cl[i]
+    t = 0.0 if seg <= 0 else (d - cl[i]) / seg
+    return line[i] + t * (line[i + 1] - line[i])
+
+
+def line_locate(line: np.ndarray, x: float, y: float) -> float:
+    """Distance along line of the closest point to (x, y) — shapely
+    `project` (validate_meshblock.py:196)."""
+    p = np.array([x, y])
+    a, b = line[:-1], line[1:]
+    ab = b - a
+    ab2 = (ab**2).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(((p - a) * ab).sum(axis=1) / np.where(ab2 == 0, 1, ab2), 0, 1)
+    proj = a + t[:, None] * ab
+    d2 = ((proj - p) ** 2).sum(axis=1)
+    i = int(np.argmin(d2))
+    cl = cum_lengths(line)
+    return float(cl[i] + t[i] * np.sqrt(ab2[i]))
+
+
+def point_to_polyline_distance(x: float, y: float, line: np.ndarray) -> float:
+    p = np.array([x, y])
+    a, b = line[:-1], line[1:]
+    ab = b - a
+    ab2 = (ab**2).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(((p - a) * ab).sum(axis=1) / np.where(ab2 == 0, 1, ab2), 0, 1)
+    proj = a + t[:, None] * ab
+    return float(np.sqrt(((proj - p) ** 2).sum(axis=1).min()))
+
+
+def split_line_at_distances(line: np.ndarray, dists: list[float]) -> list[np.ndarray]:
+    """Split a polyline at sorted linear-reference distances — reference
+    `split_lines` (helpers.py:408-440): cuts merged with vertices by
+    measure, segments emitted between consecutive cuts."""
+    cl = cum_lengths(line)
+    total = cl[-1]
+    cuts = sorted({d for d in dists if EPS < d < total - EPS})
+    if not cuts:
+        return [line.copy()]
+    pieces: list[np.ndarray] = []
+    bounds = [0.0] + cuts + [total]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        mask = (cl > lo + EPS) & (cl < hi - EPS)
+        mid = line[mask]
+        piece = np.vstack([line_interpolate(line, lo), mid, line_interpolate(line, hi)])
+        pieces.append(piece)
+    return pieces

@@ -1,0 +1,62 @@
+"""Table IO seam: parquet in the sandbox, Iceberg on a real cluster.
+
+The reference's GeoPackage layer IO (gpd.read_file / OGR writer,
+/root/reference/src/helpers.py:63-282) maps to catalog tables. The sandbox
+has no Iceberg jars, so `format("iceberg")` is a config switch behind this
+seam — all operators call save_table/load_table and never name a format.
+
+Design notes for the 100 TB target:
+- writes are range-partitioned on the tile cell (parent Morton cell) so
+  files cluster spatially → partition pruning on tile predicates;
+- ``snapshot`` emulates Iceberg time travel in the parquet stand-in by
+  versioned subdirectories (sandbox only); on Iceberg it becomes
+  ``option("snapshot-id", ...)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:  # Iceberg jars present only on a real cluster
+    _ICEBERG = os.environ.get("EGP_ICEBERG_CATALOG") is not None
+except Exception:  # pragma: no cover
+    _ICEBERG = False
+
+
+def load_table(spark: SparkSession, path_or_name: str, snapshot: str | None = None) -> DataFrame:
+    if _ICEBERG:  # pragma: no cover - cluster-only path
+        reader = spark.read.format("iceberg")
+        if snapshot is not None:
+            reader = reader.option("snapshot-id", snapshot)
+        return reader.load(path_or_name)
+    if snapshot is not None:
+        return spark.read.parquet(os.path.join(path_or_name, f"_snapshot={snapshot}"))
+    return spark.read.parquet(path_or_name)
+
+
+def save_table(
+    df: DataFrame,
+    path_or_name: str,
+    mode: str = "overwrite",
+    range_partition_col: str | None = None,
+    num_partitions: int | None = None,
+    snapshot: str | None = None,
+) -> None:
+    if range_partition_col is not None:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n, range_partition_col)
+    if _ICEBERG:  # pragma: no cover - cluster-only path
+        df.writeTo(path_or_name).createOrReplace()
+        return
+    if snapshot is not None:
+        path_or_name = os.path.join(path_or_name, f"_snapshot={snapshot}")
+    df.write.mode(mode).parquet(path_or_name)
+
+
+def table_exists(spark: SparkSession, path_or_name: str) -> bool:
+    """Reference `fiona.listlayers` probe (validate_topology.py:66-73)."""
+    if _ICEBERG:  # pragma: no cover
+        return spark.catalog.tableExists(path_or_name)
+    return os.path.isdir(path_or_name) or os.path.isfile(path_or_name)
