@@ -1,0 +1,166 @@
+"""Benchmark runner — prints ONE JSON line per the driver contract.
+
+Headline queries:
+- tile_assign: phash→(x,y)→cell/tile assignment over the synthetic images
+  table (the BASELINE.json "spatial-join + tile-assignment" metric; table
+  size scales with SPARK_GRAFT_SF_DIR's sf).
+- pip_images: point-in-polygon join of the image points into the convex
+  boundary tiles (cell prefilter + numpy refine).
+- conflation / distance_join / knn_nearest / node_degree / dup_geometry /
+  sessionize / pricing_summary: driver-table operator queries (driverq).
+
+Usage: python bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from egp_crn_spark.config import env_cpus, env_sf_dir  # noqa: E402
+from egp_crn_spark.functions import cells as C  # noqa: E402
+from egp_crn_spark.functions.georef import phash_x, phash_y  # noqa: E402
+
+IMAGES_PER_SF = 5_000_000  # sf0.1 → 500k rows (override: SPARK_GRAFT_N_IMAGES)
+BOUNDARY_RES = 4  # 256 convex tiles
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_images(n: int, cache_root: str = None, shards: int = 64) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from egp_crn_spark.synth import make_boundaries, make_images
+
+    cache_root = cache_root or os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+    os.makedirs(cache_root, exist_ok=True)
+    # sharded dataset dir: a single parquet file scans as ONE task and
+    # serializes the whole bench — shard so every core gets scan work
+    img_path = os.path.join(cache_root, f"bench_images_{n}")
+    bnd_path = os.path.join(cache_root, f"bench_boundaries_r{BOUNDARY_RES}.parquet")
+    if not os.path.isdir(img_path) or len(os.listdir(img_path)) < shards:
+        pdf = make_images(n, seed=42, with_bytes=False, fast_ids=n > 1_000_000).drop(
+            columns=["bytes"])
+        os.makedirs(img_path, exist_ok=True)
+        step = (len(pdf) + shards - 1) // shards
+        for s in range(shards):
+            chunk = pdf.iloc[s * step : (s + 1) * step]
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                os.path.join(img_path, f"part-{s:03d}.parquet"),
+            )
+    if not os.path.exists(bnd_path):
+        pdf = make_boundaries(res=BOUNDARY_RES, seed=42)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), bnd_path)
+    return img_path, bnd_path
+
+
+def image_points(spark, img_path):
+    return spark.read.parquet(img_path).select(
+        "image_id",
+        phash_x(F.col("phash")).alias("x"),
+        phash_y(F.col("phash")).alias("y"),
+    )
+
+
+def q_tile_assign(spark, img_path, bnd_path):
+    pts = image_points(spark, img_path)
+    cell10 = C.cell_of_xy(F.col("x"), F.col("y"), 10)
+    return (
+        pts.select("image_id", cell10.alias("cell10"),
+                   C.parent_cell(cell10, 10, BOUNDARY_RES).alias("tile"))
+        .groupBy("tile").agg(F.count("*").alias("n"), F.approx_count_distinct("cell10").alias("cells"))
+    )
+
+
+def q_pip_images(spark, img_path, bnd_path):
+    from egp_crn_spark.operators.spatial_join import point_in_polygon_join
+
+    pts = image_points(spark, img_path).withColumnRenamed("image_id", "p_id")
+    polys = spark.read.parquet(bnd_path).select(
+        F.col("bb_uid").alias("poly_id"), "vertices"
+    )
+    joined = point_in_polygon_join(pts, polys, res=6, broadcast_polys=True)
+    return joined.groupBy("poly_id").agg(F.count("*").alias("n"))
+
+
+def main() -> None:
+    sf_dir = env_sf_dir()
+    cpus = env_cpus()
+    sf = sf_of(sf_dir)
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", 0)) or max(int(IMAGES_PER_SF * sf), 1000)
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+    img_path, bnd_path = ensure_images(n_images)
+
+    from egp_crn_spark.driverq import QUERIES
+    from egp_crn_spark.session import get_session
+
+    spark = get_session("bench", cores=cpus)
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def run(name, make_df):
+        # min over trials (least-interference estimate on a shared box).
+        # make_df is a THUNK: a fresh DataFrame per trial, because Spark
+        # silently reuses shuffle map-stage output across actions on the
+        # same DataFrame object — timing a reused df measures only the
+        # final stage.
+        best = float("inf")
+        for _ in range(trials):
+            df = make_df()
+            t0 = time.perf_counter()
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        rows[name] = n
+
+    # warm the JVM/codegen AND the Python-worker daemon pool: the first
+    # Arrow-UDF stage otherwise pays ~0.5 s/core of simultaneous
+    # fork+import cost, which would be misattributed to the first query
+    spark.range(1000).count()
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    (spark.range(cpus * 4).repartition(cpus * 4)
+     .mapInPandas(_noop, schema="id long").count())
+
+    run("tile_assign", lambda: q_tile_assign(spark, img_path, bnd_path))
+    run("pip_images", lambda: q_pip_images(spark, img_path, bnd_path))
+    for name in ["conflation_crn", "distance_join", "knn_nearest", "node_degree",
+                 "dup_geometry", "sessionize", "pricing_summary"]:
+        fn = QUERIES[name][0]
+        run(name, lambda fn=fn: fn(spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    spatial_rows = n_images  # rows pushed through tile assignment + PIP
+    print(json.dumps({
+        "metric": "spatial-join + tile-assignment bench (sum of query wall times)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_images": n_images,
+        "rows_per_sec_tile_assign": round(spatial_rows / timings["tile_assign"], 1),
+        "rows_per_sec_pip": round(spatial_rows / timings["pip_images"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -137,8 +137,8 @@ def geom_checksum(vertices: Column, decimals: int = COORD_DECIMALS) -> Column:
             vs,
             lambda p: F.concat_ws(
                 ":",
-                F.format_number(F.element_at(p, 1), decimals),
-                F.format_number(F.element_at(p, 2), decimals),
+                F.format_string(f"%.{decimals}f", F.element_at(p, 1)),
+                F.format_string(f"%.{decimals}f", F.element_at(p, 2)),
             ),
         ),
         ";",

@@ -1,0 +1,259 @@
+"""Distributed spatial joins: Morton-cell equi-join prefilter + exact refine.
+
+Replaces the reference's per-row STRtree probes (its only join strategy —
+/root/reference/src/topology/validate_topology.py:194,285,384;
+src/conflation/conflate_meshblock.py:103-112) with the two-tier pattern
+every operator here shares:
+
+  1. PREFILTER — a plain equi-join on Morton cell ids (pure Column bit
+     arithmetic, functions/cells.py). Catalyst/AQE choose the physical
+     join, handle skew splitting, and push predicates; at 100 TB this is
+     the only stage that shuffles, and it shuffles on a bigint.
+  2. REFINE — the exact geometric predicate. Pure Column where algebra
+     allows (rectangles, distances); Arrow-batched numpy kernels
+     (functions/geomkernel.py) where it doesn't (general polygons).
+
+Duplicate candidate pairs from multi-cell overlap are eliminated with the
+reference-point technique (keep a pair only in the cell containing the
+intersection's lower-left corner) — no dropDuplicates shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cells as C
+from ..functions import geomkernel as GK
+
+
+# ---------------------------------------------------------------------------
+# rectangle x rectangle intersects-join (pure Column end to end)
+# ---------------------------------------------------------------------------
+def _rect_cover_cells(df: DataFrame, prefix: str, res: int) -> DataFrame:
+    """Explode each rect to the Morton cells its bbox covers at ``res``.
+
+    Inclusive upper bound so a rect touching a cell line also lands in the
+    neighbouring cell — `intersects` must count boundary touches (shapely
+    semantics at conflate_meshblock.py:105).
+    """
+    n = 1 << res
+    scale = n / C.EXTENT
+
+    def idx(col: str) -> Column:
+        return F.least(F.greatest(F.floor(F.col(col) * scale), F.lit(0)), F.lit(n - 1)).cast("long")
+
+    return (
+        df.withColumn("_ix", F.explode(F.sequence(idx(f"{prefix}xmin"), idx(f"{prefix}xmax"))))
+        .withColumn("_iy", F.explode(F.sequence(idx(f"{prefix}ymin"), idx(f"{prefix}ymax"))))
+        .withColumn("_cell", C.cell_encode(F.col("_ix"), F.col("_iy"), res))
+        .drop("_ix", "_iy")
+    )
+
+
+def rect_intersects_join(
+    a: DataFrame,
+    b: DataFrame,
+    res: int,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """All (a, b) pairs whose axis-aligned rects intersect (touch counts).
+
+    ``a`` columns: a_id, axmin, aymin, axmax, aymax (same for b with b_).
+    Output adds ``overlap_area``. One row per pair (reference-point dedup).
+    """
+    ac = _rect_cover_cells(a, "a", res)
+    bc = _rect_cover_cells(b, "b", res)
+    if broadcast_b:
+        bc = F.broadcast(bc)
+    j = ac.join(bc, "_cell")
+    rx = F.greatest(F.col("axmin"), F.col("bxmin"))
+    ry = F.greatest(F.col("aymin"), F.col("bymin"))
+    j = j.filter(
+        (F.least(F.col("axmax"), F.col("bxmax")) >= rx)
+        & (F.least(F.col("aymax"), F.col("bymax")) >= ry)
+        # reference-point dedup: keep the pair only in the cell that
+        # contains the intersection's lower-left corner
+        & (C.cell_of_xy(rx, ry, res) == F.col("_cell"))
+    )
+    overlap = (
+        F.greatest(F.least(F.col("axmax"), F.col("bxmax")) - F.greatest(F.col("axmin"), F.col("bxmin")), F.lit(0.0))
+        * F.greatest(F.least(F.col("aymax"), F.col("bymax")) - F.greatest(F.col("aymin"), F.col("bymin")), F.lit(0.0))
+    )
+    return j.withColumn("overlap_area", overlap).drop("_cell")
+
+
+# ---------------------------------------------------------------------------
+# point x point distance-join and kNN (pure Column end to end)
+# ---------------------------------------------------------------------------
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    res: int | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """All (left, right) pairs with euclidean distance <= radius.
+
+    ``left``: l_id, lx, ly. ``right``: r_id, rx, ry. Exact (not approximate):
+    ``res`` is chosen so one k-ring covers the radius; the residual filter
+    does the exact test. Reference parity: buffer(r)+intersects probes
+    (helpers.py:375-383, validate_topology.py:190-197) — buffer-intersects
+    point ≡ distance<=r, no polygon buffer materialized.
+    """
+    res = res if res is not None else C.res_for_radius(radius)
+    lix, liy = C.xy_to_ixy(F.col("lx"), F.col("ly"), res)
+    lc = left.withColumn("_cell", F.explode(C.kring_cells(lix, liy, res, 1)))
+    rc = right.withColumn("_cell", C.cell_of_xy(F.col("rx"), F.col("ry"), res))
+    if broadcast_right:
+        rc = F.broadcast(rc)
+    dist = F.sqrt(
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    return lc.join(rc, "_cell").withColumn("dist", dist).filter(F.col("dist") <= radius).drop("_cell")
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 1,
+    max_distance: float = float("inf"),
+    res: int | None = None,
+) -> DataFrame:
+    """k nearest right-points per left-point within max_distance.
+
+    Window-ranked distance over k-ring candidates (BASELINE.json
+    north_star: "kNN via H3 k-ring expansion + window-ranked distance").
+    Ties break on r_id so results are deterministic — the reference's
+    first-STRtree-hit selection (helpers.py:160-162,395) is
+    insertion-order dependent; we pin it (SURVEY.md §7 hard parts).
+    """
+    if not np.isfinite(max_distance):
+        raise ValueError("knn_join requires a finite max_distance (cell prefilter bound)")
+    cand = distance_join(left, right, max_distance, res=res)
+    w = Window.partitionBy("l_id").orderBy(F.col("dist").asc(), F.col("r_id").asc())
+    return cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# point x polygon join (cell prefilter + numpy PIP refine)
+# ---------------------------------------------------------------------------
+def polygon_cover_cells(polys: DataFrame, res: int, convex: bool = False) -> DataFrame:
+    """(poly_id, _cell, _interior) polyfill at ``res``: every cell whose
+    square intersects the polygon's bbox (prefilter superset), with
+    ``_interior`` marking cells wholly inside the polygon — points landing
+    in interior cells skip the exact PIP test entirely (the compact/
+    uncompact trick of H3-style engines). The wholly-inside test (all 4
+    cell corners inside) is exact for convex polygons; pass convex=False
+    to disable it for general rings."""
+
+    n = 1 << res
+    size = C.EXTENT / n
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, cs, inter = [], [], []
+            for pid, vs in zip(pdf["poly_id"], pdf["vertices"]):
+                arr = np.asarray([list(p) for p in vs], dtype=np.float64)
+                xmin, ymin = arr[:, 0].min(), arr[:, 1].min()
+                xmax, ymax = arr[:, 0].max(), arr[:, 1].max()
+                ix0 = int(np.clip(np.floor(xmin / size), 0, n - 1))
+                ix1 = int(np.clip(np.floor(xmax / size), 0, n - 1))
+                iy0 = int(np.clip(np.floor(ymin / size), 0, n - 1))
+                iy1 = int(np.clip(np.floor(ymax / size), 0, n - 1))
+                ixs, iys = np.meshgrid(
+                    np.arange(ix0, ix1 + 1, dtype=np.int64),
+                    np.arange(iy0, iy1 + 1, dtype=np.int64),
+                    indexing="ij",
+                )
+                ixs, iys = ixs.ravel(), iys.ravel()
+                cells_ = C.cell_encode_np(ixs, iys, res)
+                if convex:
+                    x0, y0 = ixs * size, iys * size
+                    inside = np.ones(len(ixs), dtype=bool)
+                    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                        inside &= GK.points_in_polygon(x0 + dx * size, y0 + dy * size, arr)
+                else:
+                    inside = np.zeros(len(ixs), dtype=bool)
+                ids.extend([pid] * len(cells_))
+                cs.extend(cells_.tolist())
+                inter.extend(inside.tolist())
+            yield pd.DataFrame({"poly_id": ids, "_cell": cs, "_interior": inter})
+
+    return polys.select("poly_id", "vertices").mapInPandas(
+        gen, schema="poly_id long, _cell long, _interior boolean"
+    )
+
+
+def pip_refine_udf(spark, polys: DataFrame):
+    """Scalar pandas UDF (x, y, poly_id) -> bool doing exact PIP against a
+    broadcast of the polygon vertex arrays.
+
+    Used as a JVM-side FILTER: Arrow carries 3 numeric columns in and one
+    boolean out per candidate row — never the full row. (The first
+    mapInPandas design round-tripped whole candidate rows and the Arrow
+    exchange of the id strings alone cost more than the geometry.)
+    """
+    polys_local = {
+        int(r["poly_id"]): np.asarray([list(p) for p in r["vertices"]], dtype=np.float64)
+        for r in polys.select("poly_id", "vertices").toLocalIterator()
+    }
+    bc = spark.sparkContext.broadcast(polys_local)
+
+    @F.pandas_udf("boolean")
+    def pip_ok(x: pd.Series, y: pd.Series, poly_id: pd.Series) -> pd.Series:
+        lookup = bc.value
+        xs = x.values.astype(np.float64)
+        ys = y.values.astype(np.float64)
+        key = poly_id.values
+        keep = np.zeros(len(xs), dtype=bool)
+        # argsort run-partitioning: one vectorized kernel call per polygon
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        for s, e in zip(starts, ends):
+            idx = order[s:e]
+            keep[idx] = GK.points_in_polygon(xs[idx], ys[idx], lookup[int(ks[s])])
+        return pd.Series(keep)
+
+    return pip_ok
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int,
+    broadcast_polys: bool = True,
+    convex: bool = True,
+) -> DataFrame:
+    """(point, poly_id) for each polygon containing the point (boundary
+    inclusive). ``points``: p_id, x, y. ``polys``: poly_id, vertices.
+
+    Reference parity: `within`/`covered_by` STRtree probes
+    (link_arcs.py:92-97, validate_meshblock.py:378-380). Three-tier plan:
+
+    1. Morton-cell equi-join against the polyfill (pure Column, broadcast
+       for dimension-sized polygon sets);
+    2. interior-cell short-circuit — candidates in cells wholly inside a
+       polygon are accepted with NO Python involvement (convex polys);
+    3. exact PIP refine as a scalar pandas-UDF filter over (x, y,
+       poly_id) only — the Arrow exchange never carries payload columns.
+    """
+    spark = points.sparkSession
+    cover = polygon_cover_cells(polys, res, convex=convex)
+    if broadcast_polys:
+        cover = F.broadcast(cover)
+    cand = points.withColumn("_cell", C.cell_of_xy(F.col("x"), F.col("y"), res)).join(
+        cover, "_cell"
+    )
+    pip_ok = pip_refine_udf(spark, polys)
+    return cand.filter(
+        F.col("_interior") | pip_ok(F.col("x"), F.col("y"), F.col("poly_id"))
+    ).drop("_cell", "_interior")

@@ -69,6 +69,8 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", driver_memory)
+        # local mode: no data locality to wait for — immediate dispatch
+        .config("spark.locality.wait", "0")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

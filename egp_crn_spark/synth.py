@@ -34,7 +34,12 @@ def _ids(prefix: str, n: int, seed: int) -> list[str]:
 
 
 # ------------------------------------------------------------------ images
-def make_images(n: int = 2000, seed: int = 42, with_bytes: bool = True) -> pd.DataFrame:
+def make_images(
+    n: int = 2000, seed: int = 42, with_bytes: bool = True, fast_ids: bool = False
+) -> pd.DataFrame:
+    """fast_ids=True replaces per-row sha256 ids/captions with vectorized
+    hex ids — for multi-million-row bench fixtures only (content-hash ids
+    are the fixture contract for correctness tests, FIXTURES.md §1)."""
     rng = np.random.default_rng(seed)
 
     n_hot = int(n * 0.20)      # skew: 20% of rows in a handful of dense cells
@@ -92,14 +97,20 @@ def make_images(n: int = 2000, seed: int = 42, with_bytes: bool = True) -> pd.Da
     else:
         payloads = [None] * n
 
-    tokens = ["alpha", "β-utf8", "gamma", ""]
-    captions = [
-        "" if i % 97 == 0 else f"caption-{i}-{tokens[i % len(tokens)]}" for i in range(n)
-    ]
+    if fast_ids:
+        idx = np.arange(n)
+        ids = pd.Series(idx).map("img{:027x}".format).astype(str)
+        captions = ("caption-" + pd.Series(idx).astype(str)).where(idx % 97 != 0, "")
+    else:
+        tokens = ["alpha", "β-utf8", "gamma", ""]
+        ids = _ids("img", n, seed)
+        captions = [
+            "" if i % 97 == 0 else f"caption-{i}-{tokens[i % len(tokens)]}" for i in range(n)
+        ]
 
     return pd.DataFrame(
         {
-            "image_id": _ids("img", n, seed),
+            "image_id": ids,
             "bytes": payloads,
             "w": ws,
             "h": hs,
