@@ -126,9 +126,76 @@ def polylines_cross(a: np.ndarray, b: np.ndarray) -> bool:
     return bool(segments_properly_intersect(p1, p2, q1, q2).any())
 
 
+def _point_on_segment_interior(px_, py_, ax, ay, bx, by) -> np.ndarray:
+    """Vectorized: does (px, py) lie strictly inside segment (a, b)?"""
+    cross = (bx - ax) * (py_ - ay) - (by - ay) * (px_ - ax)
+    on_line = np.abs(cross) <= EPS * np.maximum(1.0, np.hypot(bx - ax, by - ay))
+    t = ((px_ - ax) * (bx - ax) + (py_ - ay) * (by - ay)) / np.maximum(
+        (bx - ax) ** 2 + (by - ay) ** 2, 1e-300
+    )
+    return on_line & (t > EPS) & (t < 1 - EPS)
+
+
+def polylines_cross_shapely(a: np.ndarray, b: np.ndarray) -> bool:
+    """shapely-`crosses` semantics for two polylines: interiors intersect
+    in a point (dimension 0). Covers (1) transversal proper crossings and
+    (2) interior-vertex-on-interior contacts; excludes endpoint touches
+    and collinear (dimension-1) overlaps. Reference: validation 303
+    (validate_topology.py:285-293)."""
+    if polylines_cross(a, b):
+        return True
+    # interior vertex of one line lying on the interior of the other
+    for p, q in ((a, b), (b, a)):
+        if len(p) < 3:
+            continue
+        iv = p[1:-1]  # interior vertices
+        for j in range(len(q) - 1):
+            ax, ay = q[j]
+            bx, by = q[j + 1]
+            hit = _point_on_segment_interior(iv[:, 0], iv[:, 1], ax, ay, bx, by)
+            # also exact coincidence with q's interior vertices
+            if hit.any():
+                return True
+        if len(q) > 2:
+            qi = q[1:-1]
+            d = np.abs(iv[:, None, :] - qi[None, :, :]).sum(axis=2)
+            if (d <= EPS).any():
+                return True
+    return False
+
+
+def polylines_overlap(a: np.ndarray, b: np.ndarray) -> bool:
+    """shapely-`overlaps` semantics for polylines: they share a
+    positive-length collinear section but neither equals the other.
+    Reference: validation 202 (validate_topology.py:383-392).
+    Equality must be excluded by the CALLER (checksum equality) — this
+    kernel only detects a shared dimension-1 section."""
+    for i in range(len(a) - 1):
+        p1, p2 = a[i], a[i + 1]
+        d1 = p2 - p1
+        L1 = np.hypot(*d1)
+        if L1 <= EPS:
+            continue
+        for j in range(len(b) - 1):
+            q1, q2 = b[j], b[j + 1]
+            # collinear: both q endpoints on the infinite line through p
+            c1 = d1[0] * (q1[1] - p1[1]) - d1[1] * (q1[0] - p1[0])
+            c2 = d1[0] * (q2[1] - p1[1]) - d1[1] * (q2[0] - p1[0])
+            if abs(c1) > EPS * L1 or abs(c2) > EPS * L1:
+                continue
+            # 1D projections onto p's direction
+            t1 = ((q1 - p1) @ d1) / (L1 * L1)
+            t2 = ((q2 - p1) @ d1) / (L1 * L1)
+            lo, hi = min(t1, t2), max(t1, t2)
+            if min(hi, 1.0) - max(lo, 0.0) > EPS:
+                return True
+    return False
+
+
 def polyline_is_simple(a: np.ndarray) -> bool:
     """No self-intersection — shapely `is_simple`, validation 101
-    (validate_topology.py:328-345)."""
+    (validate_topology.py:328-345): flags self-crossings AND self-touches
+    (revisited vertices), except a closed ring (first == last only)."""
     n = len(a) - 1
     if n < 2:
         return True
@@ -138,8 +205,30 @@ def polyline_is_simple(a: np.ndarray) -> bool:
         p2 = np.repeat(a[i + 1 : i + 2], len(js), axis=0)
         if segments_properly_intersect(p1, p2, a[js], a[js + 1]).any():
             return False
-    # coincident revisits of a vertex (touch-type non-simplicity) are NOT
-    # flagged here — matches proper-crossing semantics used by validation 101
+    # revisited vertices (self-touch): any duplicate coordinate except the
+    # closing first==last pair of a ring
+    seen = {}
+    for idx, (x, y) in enumerate(a):
+        key = (round(float(x), 9), round(float(y), 9))
+        if key in seen and not (seen[key] == 0 and idx == len(a) - 1):
+            return False
+        seen.setdefault(key, idx)
+    # interior vertex lying on a non-adjacent segment (T-touch on self)
+    if len(a) > 2:
+        iv = a[1:-1]
+        for j in range(n):
+            ax, ay = a[j]
+            bx, by = a[j + 1]
+            hit = _point_on_segment_interior(iv[:, 0], iv[:, 1], ax, ay, bx, by)
+            hit[max(0, j - 1) : j + 1] = False  # adjacent vertices excluded
+            if hit.any():
+                return False
+        # adjacent collinear backtrack (spike) = dimension-1 self-overlap
+        d = a[1:] - a[:-1]
+        cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+        dot = (d[:-1] * d[1:]).sum(axis=1)
+        if ((np.abs(cross) <= EPS) & (dot < -EPS)).any():
+            return False
     return True
 
 

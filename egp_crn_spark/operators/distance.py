@@ -1,0 +1,182 @@
+"""Point-to-polyline distance joins — pure Column, cell-prefiltered.
+
+The engine's replacement for every buffer(r)+intersects probe against ARC
+geometry in the reference (validate_topology.py:190-197 deadend buffers;
+fetch_deltas.py:196-228 NRN containment; validate_meshblock.py:143-182
+snapping buffers): buffer-intersects-line ≡ point-to-segment distance <= r,
+which is exact Column algebra — no polygon buffers materialized, no UDF.
+
+Plan shape: explode arcs into segments, cover each segment's bbox with
+Morton cells at res_for_radius(r); points join on their own cell's k-ring
+… wait — inverted: segments explode to bbox cover cells, points carry ONE
+cell, join, exact distance filter. One shuffle on a bigint cell id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions import geomexpr as GX
+
+
+def explode_segments(arcs: DataFrame, id_col: str = "segment_id",
+                     vertices: str = "vertices") -> DataFrame:
+    """(id, seg_idx, ax, ay, bx, by) — one row per line segment."""
+    segs = arcs.select(
+        F.col(id_col),
+        F.posexplode(GX.segment_pairs(F.col(vertices))).alias("seg_idx", "seg"),
+    )
+    return segs.select(
+        id_col,
+        "seg_idx",
+        F.element_at("seg.a", 1).alias("ax"),
+        F.element_at("seg.a", 2).alias("ay"),
+        F.element_at("seg.b", 1).alias("bx"),
+        F.element_at("seg.b", 2).alias("by"),
+    )
+
+
+def _segment_cover_cells(segs: DataFrame, res: int) -> DataFrame:
+    """Explode each segment to the cells its bbox covers at ``res``
+    (segments are short relative to the cell at res_for_radius, so the
+    bbox cover is a tight superset)."""
+    n = 1 << res
+    scale = n / C.EXTENT
+
+    def idx(c: Column) -> Column:
+        return F.least(F.greatest(F.floor(c * scale), F.lit(0)), F.lit(n - 1)).cast("long")
+
+    return (
+        segs.withColumn(
+            "_ix",
+            F.explode(F.sequence(idx(F.least("ax", "bx")), idx(F.greatest("ax", "bx")))),
+        )
+        .withColumn(
+            "_iy",
+            F.explode(F.sequence(idx(F.least("ay", "by")), idx(F.greatest("ay", "by")))),
+        )
+        .withColumn("_cell", C.cell_encode(F.col("_ix"), F.col("_iy"), res))
+        .drop("_ix", "_iy")
+    )
+
+
+def point_segment_dist2(px: Column, py: Column, ax: Column, ay: Column,
+                        bx: Column, by: Column) -> Column:
+    """Squared distance point→segment — clamped projection, pure Column."""
+    abx, aby = bx - ax, by - ay
+    ab2 = abx * abx + aby * aby
+    t_raw = ((px - ax) * abx + (py - ay) * aby) / F.when(ab2 == 0, F.lit(1.0)).otherwise(ab2)
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    cx = ax + t * abx
+    cy = ay + t * aby
+    return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+
+
+def point_to_arc_distance_join(
+    points: DataFrame,
+    arcs: DataFrame,
+    radius: float,
+    id_col: str = "segment_id",
+    vertices: str = "vertices",
+    res: int | None = None,
+) -> DataFrame:
+    """All (point, arc) pairs where the point is within ``radius`` of the
+    arc's geometry. ``points``: p_id, x, y. Output: p_id, arc id, dist.
+
+    Exact (min over the arc's segments); pairs deduped by min-dist
+    aggregation, one shuffle each side on the bigint cell.
+    """
+    res = res if res is not None else C.res_for_radius(radius)
+    segs = _segment_cover_cells(explode_segments(arcs, id_col, vertices), res)
+    ix, iy = C.xy_to_ixy(F.col("x"), F.col("y"), res)
+    pts = points.withColumn("_cell", F.explode(C.kring_cells(ix, iy, res, 1)))
+    d2 = point_segment_dist2(F.col("x"), F.col("y"), F.col("ax"), F.col("ay"),
+                             F.col("bx"), F.col("by"))
+    cand = pts.join(segs, "_cell").withColumn("_d2", d2).filter(
+        F.col("_d2") <= radius * radius
+    )
+    return (
+        cand.groupBy("p_id", id_col)
+        .agg(F.min("_d2").alias("_d2"), F.first("x").alias("x"), F.first("y").alias("y"))
+        .withColumn("dist", F.sqrt("_d2"))
+        .drop("_d2")
+    )
+
+
+def densify_vertices(vertices: Column, step: float) -> Column:
+    """Sample points along a polyline at spacing <= ``step`` (plus all
+    original vertices) — pure higher-order expressions. Used to express
+    'arc within union of buffers(r)' as 'every sample within r of the
+    network' (fetch_deltas.py:196-228, restore_geometry.py:96-117): exact
+    to within the sampling tolerance, which the caller sets << r."""
+    segs = GX.segment_pairs(vertices)
+    sampled = F.transform(
+        segs,
+        lambda s: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(GX.seg_length(s["a"], s["b"]) / F.lit(step)) - 1, F.lit(0)
+                ),
+            ),
+            lambda i: F.array(
+                F.element_at(s["a"], 1)
+                + (F.element_at(s["b"], 1) - F.element_at(s["a"], 1))
+                * i.cast("double")
+                / F.greatest(F.ceil(GX.seg_length(s["a"], s["b"]) / F.lit(step)), F.lit(1)).cast("double"),
+                F.element_at(s["a"], 2)
+                + (F.element_at(s["b"], 2) - F.element_at(s["a"], 2))
+                * i.cast("double")
+                / F.greatest(F.ceil(GX.seg_length(s["a"], s["b"]) / F.lit(step)), F.lit(1)).cast("double"),
+            ),
+        ),
+    )
+    return F.concat(F.flatten(sampled), F.slice(vertices, -1, 1))
+
+
+def arc_within_network_distance(
+    query_arcs: DataFrame,
+    network_arcs: DataFrame,
+    radius: float,
+    sample_step: float | None = None,
+    id_col: str = "segment_id",
+    vertices: str = "vertices",
+) -> DataFrame:
+    """For each query arc: is EVERY point of it within ``radius`` of the
+    network? Returns (id, within: boolean).
+
+    Re-expresses the reference's two-stage buffer-dissolve containment
+    (fetch_deltas.py:196-228 'NRN within dissolved CRN buffers',
+    restore_geometry.py:96-117 difference-is-empty): membership in the
+    UNION of buffers is a min-distance predicate, so no polygon union is
+    ever materialized. Sampling at ``sample_step`` (default radius/4)
+    bounds the discretization error; the reference's buffer(resolution=5)
+    polygons are themselves inscribed approximations of the true buffer.
+    """
+    step = sample_step if sample_step is not None else radius / 4.0
+    samples = query_arcs.select(
+        F.col(id_col).alias("q_id"),
+        F.posexplode(densify_vertices(F.col(vertices), step)).alias("sample_idx", "pt"),
+    ).select(
+        "q_id", "sample_idx",
+        F.element_at("pt", 1).alias("x"), F.element_at("pt", 2).alias("y"),
+    ).withColumn("p_id", F.concat_ws("#", "q_id", "sample_idx"))
+
+    hits = point_to_arc_distance_join(
+        samples.select("p_id", "x", "y"), network_arcs, radius,
+        id_col=id_col, vertices=vertices,
+    ).select("p_id").distinct()
+
+    # a sample is covered iff it appears in hits; arc within ⟺ all covered
+    covered = samples.join(hits, "p_id", "left_semi").select("q_id", "p_id")
+    n_total = samples.groupBy("q_id").agg(F.count("*").alias("n_samples"))
+    n_cov = covered.groupBy("q_id").agg(F.count("*").alias("n_covered"))
+    return (
+        n_total.join(n_cov, "q_id", "left")
+        .select(
+            F.col("q_id").alias(id_col),
+            (F.coalesce("n_covered", F.lit(0)) == F.col("n_samples")).alias("within"),
+        )
+    )
