@@ -1,0 +1,196 @@
+"""Meshblock creation + representation validations.
+
+Re-expresses the reference's meshblock stage (validate_meshblock.py):
+polygonize all non-deadend arcs into faces (:339-366), then validate that
+deadend arcs sit within exactly one face (201, :368-392) and that
+non-deadend BO arcs lie on face boundaries (202, :394-421).
+
+Scale design — tile-parallel polygonize (SURVEY.md §2.4 A5, the
+raster↔vector tile-materialization op of BASELINE.json north_star):
+polygonize is inherently a connected-planar-graph computation, so the
+distributed plan shards it by Morton TILE:
+
+  1. every arc is replicated to each tile whose buffered bbox its own
+     bbox intersects (buffer = ``max_face_diameter`` — a face always
+     closes within that neighbourhood of any of its arcs);
+  2. applyInPandas per tile runs the half-edge kernel on the tile's
+     arc set;
+  3. ownership: a face belongs to the tile containing its canonical
+     (lexicographically smallest) vertex — each face is kept exactly
+     once; cross-tile duplicates drop out by construction, and a
+     face-checksum dedup guards the edge cases.
+
+Faces with diameter > max_face_diameter are NOT guaranteed closed in any
+single tile; pick tile_res/buffer so tiles ≫ expected block size (the
+reference's ~140 working areas embody the same assumption —
+src/config.yaml:23-160).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions import geomexpr as GX
+from ..functions import geomkernel as GK
+from ..functions.polygonize_kernel import face_checksum, polygonize_vertex_arrays
+from . import nodes as N
+
+FACE_SCHEMA = "face_id string, tile long, vertices array<array<double>>, area double"
+
+
+def meshblock_input(arcs: DataFrame, id_col: str = "segment_id",
+                    vertices: str = "vertices") -> DataFrame:
+    """All non-deadend arcs (validate_meshblock.py:357-358,
+    conflate_meshblock.py:70-72)."""
+    dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
+    return arcs.join(dead_ids, id_col, "left_anti")
+
+
+def polygonize_tiled(
+    arcs: DataFrame,
+    tile_res: int = 4,
+    max_face_diameter: float | None = None,
+    vertices: str = "vertices",
+) -> DataFrame:
+    """Distributed polygonize → faces (face_id, tile, vertices, area)."""
+    size = C.cell_size(tile_res)
+    buf = max_face_diameter if max_face_diameter is not None else size / 2.0
+    n = 1 << tile_res
+    scale = n / C.EXTENT
+
+    bb = GX.bbox(F.col(vertices))
+
+    def idx(c, lo):
+        v = F.floor((c + F.lit(lo)) * scale)
+        return F.least(F.greatest(v, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    tiled = (
+        arcs.select(F.col(vertices), bb.alias("_bb"))
+        .withColumn("_ix", F.explode(F.sequence(idx(F.col("_bb.xmin"), -buf),
+                                                idx(F.col("_bb.xmax"), buf))))
+        .withColumn("_iy", F.explode(F.sequence(idx(F.col("_bb.ymin"), -buf),
+                                                idx(F.col("_bb.ymax"), buf))))
+        .withColumn("tile", C.cell_encode(F.col("_ix"), F.col("_iy"), tile_res))
+        .select("tile", vertices)
+    )
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = key[0]
+        # decode this tile's bounds from its Morton id via the cell of one
+        # contained arc vertex is unnecessary: recompute from key
+        morton = tile & ((1 << C.RES_SHIFT) - 1)
+        # deinterleave morton (python ints, tiny)
+        ix = iy = 0
+        for b in range(16):
+            ix |= ((morton >> (2 * b)) & 1) << b
+            iy |= ((morton >> (2 * b + 1)) & 1) << b
+        x0, y0 = ix * size, iy * size
+        faces = polygonize_vertex_arrays(list(pdf["vertices"]))
+        rows = []
+        for f in faces:
+            # ownership: canonical vertex must lie in THIS tile
+            ci = min(range(len(f)), key=lambda k: (f[k, 0], f[k, 1]))
+            cx, cy = f[ci]
+            if not (x0 <= cx < x0 + size and y0 <= cy < y0 + size):
+                continue
+            x, yv = f[:, 0], f[:, 1]
+            area = abs(np.dot(x, np.roll(yv, -1)) - np.dot(yv, np.roll(x, -1))) / 2.0
+            rows.append(
+                {"face_id": face_checksum(f), "tile": tile,
+                 "vertices": [[float(a), float(b)] for a, b in f], "area": float(area)}
+            )
+        return pd.DataFrame(rows, columns=["face_id", "tile", "vertices", "area"])
+
+    faces = tiled.groupBy("tile").applyInPandas(per_tile, schema=FACE_SCHEMA)
+    # belt-and-braces: face-checksum dedup across tiles
+    return faces.dropDuplicates(["face_id"])
+
+
+def polygonize_meshblock(arcs: DataFrame, tile_res: int = 4,
+                         max_face_diameter: float | None = None) -> DataFrame:
+    """Reference meshblock: polygonize(unary_union(non-deadend arcs))."""
+    return polygonize_tiled(meshblock_input(arcs), tile_res, max_face_diameter)
+
+
+# ---------------------------------------------------------------- validations
+def mb_v201_deadend_within(arcs: DataFrame, faces: DataFrame,
+                           id_col: str = "segment_id",
+                           vertices: str = "vertices") -> DataFrame:
+    """Deadend arcs must be within exactly ONE face
+    (validate_meshblock.py:368-392). within = every vertex and segment
+    midpoint of the arc inside-or-on the face ring."""
+    dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
+    dead = arcs.join(dead_ids, id_col, "left_semi").select(id_col, vertices)
+
+    faces_local = [
+        (r["face_id"], np.asarray([list(p) for p in r["vertices"]], dtype=np.float64))
+        for r in faces.select("face_id", "vertices").toLocalIterator()
+    ]
+    bc = arcs.sparkSession.sparkContext.broadcast(faces_local)
+
+    def check(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fl = bc.value
+        boxes = [
+            (f[:, 0].min(), f[:, 1].min(), f[:, 0].max(), f[:, 1].max()) for _, f in fl
+        ]
+        for pdf in it:
+            out_ids, out_n = [], []
+            for sid, vs in zip(pdf[id_col], pdf[vertices]):
+                a = np.asarray([list(p) for p in vs], dtype=np.float64)
+                mids = (a[1:] + a[:-1]) / 2.0
+                pts = np.vstack([a, mids])
+                n_within = 0
+                for (fid, fv), (x0, y0, x1, y1) in zip(fl, boxes):
+                    if pts[:, 0].min() < x0 or pts[:, 0].max() > x1:
+                        continue
+                    if pts[:, 1].min() < y0 or pts[:, 1].max() > y1:
+                        continue
+                    inside = GK.points_in_polygon(pts[:, 0], pts[:, 1], fv)
+                    if inside.all():
+                        n_within += 1
+                out_ids.append(sid)
+                out_n.append(n_within)
+            yield pd.DataFrame({id_col: out_ids, "n_within": out_n})
+
+    res = dead.mapInPandas(check, schema=f"{id_col} string, n_within int")
+    return res.filter("n_within != 1").select(F.col(id_col).alias("flagged_id"))
+
+
+def mb_v202_bo_on_boundary(arcs: DataFrame, faces: DataFrame,
+                           id_col: str = "segment_id",
+                           vertices: str = "vertices") -> DataFrame:
+    """Non-deadend BO arcs (bo_new != 1) must lie on face boundaries
+    (validate_meshblock.py:394-421). Arcs and faces share NODED segments,
+    so covered_by(face boundaries) ⇔ every arc segment key appears among
+    face-ring segment keys — one distinct + anti-join, no geometry UDF."""
+    dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
+    bos = (
+        arcs.filter((F.col("segment_type") == 2) & (F.col("bo_new") != 1))
+        .join(dead_ids, id_col, "left_anti")
+    )
+
+    def seg_keys(df, idc, vcol):
+        segs = df.select(
+            F.col(idc), F.explode(GX.segment_pairs(F.col(vcol))).alias("s")
+        )
+        ka = N.node_key(F.col("s.a"))
+        kb = N.node_key(F.col("s.b"))
+        return segs.select(
+            F.col(idc), F.least(ka, kb).alias("_k1"), F.greatest(ka, kb).alias("_k2")
+        )
+
+    # face rings closed: append first vertex
+    ring = faces.select(
+        F.col("face_id"),
+        F.concat(F.col("vertices"), F.slice(F.col("vertices"), 1, 1)).alias("rv"),
+    )
+    boundary_keys = seg_keys(ring, "face_id", "rv").select("_k1", "_k2").distinct()
+    arc_segs = seg_keys(bos, id_col, vertices)
+    uncovered = arc_segs.join(boundary_keys, ["_k1", "_k2"], "left_anti")
+    return uncovered.select(F.col(id_col).alias("flagged_id")).distinct()
