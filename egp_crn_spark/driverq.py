@@ -502,7 +502,9 @@ SQL_SESSIONIZE = f"""
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
-QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+_BATCH1 = {
     "conflation_crn": (q_conflation_crn, SQL_CONFLATION_CRN),
     "conflation_ngd": (q_conflation_ngd, SQL_CONFLATION_NGD),
     "conflation_metrics": (q_conflation_metrics, SQL_CONFLATION_METRICS),
@@ -517,3 +519,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_customer_per_nation": (q_top_customer_per_nation, SQL_TOP_CUSTOMER_PER_NATION),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
 }
+
+QUERIES.update(_BATCH1)
+
+from .driverq2 import QUERIES2  # noqa: E402  (import after _BATCH1 to avoid cycles)
+
+QUERIES.update(QUERIES2)

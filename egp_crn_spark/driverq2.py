@@ -1,0 +1,529 @@
+"""Driver-contract queries, batch 2: text / dedup / similarity /
+segmentation / polygonize / lineage / images.
+
+Same contract as driverq.py: QUERIES2[name] = (spark_fn, oracle_sql|None).
+Oracle-less entries are genuinely non-SQL-expressible (xxhash64 simhash,
+approximate ANN, binary image codecs) — the driver records rows-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.georef import key_x, key_x_sql, key_y, key_y_sql
+from .operators import dedup as DD
+from .operators import images as IM
+from .operators import similarity as SIM
+from .operators import text as TX
+from .operators.lineage import partition_lineage
+from .operators.meshblock import polygonize_tiled
+from .operators.segment import split_lines_at_points
+from .operators.skew import salted_aggregate
+from .operators.spatial_join import point_in_polygon_join
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_STOP_SQL = "['the','a','of','and','to','is','in']"
+_TOKS = TX.tokens_sql("text")
+
+
+# ---------------------------------------------------------------- dedup_exact
+def q_dedup_exact_docs(spark, sf_dir):
+    return DD.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT_DOCS = """
+  select doc_id, md5(text) as ck,
+         min(doc_id) over (partition by md5(text)) as canonical_id,
+         doc_id != min(doc_id) over (partition by md5(text)) as is_dup
+  from documents
+"""
+
+
+# ---------------------------------------------------------------- token_stats
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        feats["n_stopwords"].alias("n_stopwords"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+  with t as (select doc_id, text, {_TOKS} as toks from documents)
+  select doc_id,
+         length(text) as n_chars,
+         len(toks) as n_tokens,
+         len(regexp_extract_all(text, '{TX.BPE_TOKEN_REGEX}')) as n_bpe_tokens,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) as n_stopwords,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+           / greatest(len(toks), 1) as stop_ratio,
+         len(regexp_extract_all(text, '[^\\w\\s]'))
+           / greatest(length(text), 1) as punct_ratio,
+         (length(text) - (len(toks) - 1)) / greatest(len(toks), 1) as mean_token_len
+  from t
+"""
+
+
+# ---------------------------------------------------------------- lang_id
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pred = TX.predicted_lang(F.col("text"))
+    return d.select("doc_id", pred.alias("pred_lang"),
+                    (pred == F.col("lang")).alias("matches_label"))
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, x -> list_contains({words!r}, x)))".replace("'", "'")
+        for lang, words in TX.LANG_STOPWORDS.items()
+    }
+    h = {k: f"len(list_filter(toks, x -> list_contains({_fmt_list(v)}, x)))"
+         for k, v in TX.LANG_STOPWORDS.items()}
+    del hits
+    return f"""
+      with t as (select doc_id, lang, {_TOKS} as toks from documents),
+      s as (select doc_id, lang, {h['en']} as s_en, {h['fr']} as s_fr,
+                   {h['de']} as s_de, {h['es']} as s_es from t)
+      select doc_id,
+             case when s_en >= s_fr and s_en >= s_de and s_en >= s_es then 'en'
+                  when s_fr >= s_de and s_fr >= s_es then 'fr'
+                  when s_de >= s_es then 'de'
+                  else 'es' end as pred_lang,
+             (case when s_en >= s_fr and s_en >= s_de and s_en >= s_es then 'en'
+                  when s_fr >= s_de and s_fr >= s_es then 'fr'
+                  when s_de >= s_es then 'de'
+                  else 'es' end) = lang as matches_label
+      from s
+    """
+
+
+def _fmt_list(words: list[str]) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+# ---------------------------------------------------------------- fingerprint
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = TX.shingles(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        TX.doc_fingerprint(F.col("text")).alias("fp"),
+        TX.minhash_md5(sh, 0).alias("mh0"),
+        TX.minhash_md5(sh, 1).alias("mh1"),
+    )
+
+
+_SHINGLES_SQL = (
+    "case when len(toks) < 3 then []::varchar[] else "
+    "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) end"
+)
+
+SQL_DOC_FINGERPRINT = f"""
+  with t as (select doc_id, text, {_TOKS} as toks from documents),
+  s as (select doc_id, text, toks, {_SHINGLES_SQL} as sh from t)
+  select doc_id,
+         md5(array_to_string(toks, ' ')) as fp,
+         list_aggregate(list_transform(sh, x -> md5('h0|' || x)), 'min') as mh0,
+         list_aggregate(list_transform(sh, x -> md5('h1|' || x)), 'min') as mh1
+  from s
+"""
+
+
+# ---------------------------------------------------------------- minhash LSH
+_MH_HASHES, _MH_BANDS, _MH_T = 8, 4, 0.5
+
+
+def q_minhash_lsh_dup(spark, sf_dir):
+    return DD.dedup_minhash_lsh(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=_MH_T, use_md5=True,
+    ).select("a_id", "b_id", "jaccard")
+
+
+def _minhash_sql() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    sig = ", ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('h{h}|' || x)), 'min') as mh{h}"
+        for h in range(_MH_HASHES)
+    )
+    band_structs = ", ".join(
+        f"(select {b} as band, md5(" +
+        " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) +
+        ") as bucket)"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+      with t as (select doc_id, {_TOKS} as toks from documents),
+      s as (select doc_id, list_distinct({_SHINGLES_SQL}) as sh from t),
+      sig as (select doc_id, sh, {sig} from s where len(sh) > 0),
+      bands as (
+        select doc_id, sh, b.band, case b.band
+          {"".join(f"when {b} then md5({' || chr(124) || '.join(f'mh{b*rows+r}' for r in range(rows))})" for b in range(_MH_BANDS))}
+        end as bucket
+        from sig, (select unnest(range(0, {_MH_BANDS})) as band) b
+      ),
+      sizes as (select band, bucket, count(*) as c from bands group by 1, 2),
+      ok as (select band, bucket from sizes where c <= 1000),
+      bd as (select bands.* from bands join ok using (band, bucket)),
+      pairs as (
+        select distinct a.doc_id as a_id, b.doc_id as b_id
+        from bd a join bd b using (band, bucket)
+        where a.doc_id < b.doc_id
+      ),
+      verified as (
+        select a_id, b_id,
+               len(list_intersect(sa.sh, sb.sh))
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                 as jaccard
+        from pairs
+        join sig sa on sa.doc_id = a_id
+        join sig sb on sb.doc_id = b_id
+      )
+      select a_id, b_id, jaccard from verified where jaccard >= {_MH_T!r}
+    """
+
+
+SQL_MINHASH_LSH = _minhash_sql()
+
+
+# ---------------------------------------------------------------- ngram jaccard
+_NG_T = 0.4
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=_NG_T
+    ).select("a_id", "b_id", "jaccard")
+
+
+SQL_NGRAM_JACCARD = f"""
+  with t as (select doc_id, {_TOKS} as toks from documents),
+  s as (select doc_id, list_distinct({_SHINGLES_SQL}) as sh from t),
+  ex as (select doc_id, unnest(sh) as g from s),
+  sizes as (select doc_id, len(sh) as n from s),
+  co as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as inter
+         from ex a join ex b using (g) where a.doc_id < b.doc_id group by 1, 2)
+  select a_id, b_id, inter / (na.n + nb.n - inter) as jaccard
+  from co join sizes na on na.doc_id = a_id join sizes nb on nb.doc_id = b_id
+  where inter / (na.n + nb.n - inter) >= {_NG_T!r}
+"""
+
+
+# ---------------------------------------------------------------- embedding topk
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    return SIM.brute_force_topk(queries, emb, k=3).select("q_id", "n_id", "rank")
+
+
+SQL_EMBEDDING_TOPK = """
+  with q as (select vec_id as q_id, embedding::DOUBLE[] as qv
+             from embeddings where vec_id % 100 = 0),
+       c as (select vec_id as n_id, embedding::DOUBLE[] as cv from embeddings),
+       s as (select q_id, n_id, list_cosine_similarity(qv, cv) as sim
+             from q, c where q_id != n_id),
+       r as (select q_id, n_id,
+                    row_number() over (partition by q_id
+                                       order by sim desc, n_id asc) as rank
+             from s)
+  select q_id, n_id, rank from r where rank <= 3
+"""
+
+
+# ---------------------------------------------------------------- segmentation
+_SEG_FRACS = (0.25, 0.625)
+_SEG_N = 512
+_SEG_OFF = 500_000
+
+
+def _seg_lines(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < _SEG_N)
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("line_id"),
+        key_x(F.col("o_orderkey")).alias("ax"),
+        key_y(F.col("o_orderkey")).alias("ay"),
+        key_x(F.col("o_orderkey") + _SEG_OFF).alias("bx"),
+        key_y(F.col("o_orderkey") + _SEG_OFF).alias("by"),
+    )
+
+
+def q_segment_split(spark, sf_dir):
+    lines = _seg_lines(spark, sf_dir)
+    ldf = lines.select(
+        "line_id",
+        F.array(F.array("ax", "ay"), F.array("bx", "by")).alias("vertices"),
+    )
+    cuts = lines.select(
+        "line_id",
+        F.explode(F.array(*[F.lit(f) for f in _SEG_FRACS])).alias("f"),
+    ).join(lines, "line_id").select(
+        "line_id",
+        (F.col("ax") + F.col("f") * (F.col("bx") - F.col("ax"))).alias("x"),
+        (F.col("ay") + F.col("f") * (F.col("by") - F.col("ay"))).alias("y"),
+    )
+    pieces = split_lines_at_points(ldf, cuts)
+    return pieces.select("line_id", "piece_idx", F.round("length", 3).alias("piece_len"))
+
+
+SQL_SEGMENT_SPLIT = f"""
+  with l as (
+    select cast(o_orderkey as varchar) as line_id,
+           {key_x_sql('o_orderkey')} as ax, {key_y_sql('o_orderkey')} as ay,
+           {key_x_sql(f'(o_orderkey + {_SEG_OFF})')} as bx,
+           {key_y_sql(f'(o_orderkey + {_SEG_OFF})')} as by
+    from orders where o_orderkey < {_SEG_N}),
+  f as (select unnest([0.0, {", ".join(str(f) for f in _SEG_FRACS)}, 1.0]) as lo,
+               unnest([{", ".join(str(f) for f in _SEG_FRACS)}, 1.0, null]) as hi),
+  pieces as (
+    select line_id, lo, hi,
+           row_number() over (partition by line_id order by lo) - 1 as piece_idx,
+           (hi - lo) * sqrt((bx-ax)*(bx-ax) + (by-ay)*(by-ay)) as plen
+    from l, f where hi is not null)
+  select line_id, cast(piece_idx as int) as piece_idx, round(plen, 3) as piece_len
+  from pieces
+"""
+
+
+# ---------------------------------------------------------------- polygonize
+_PG_KEYS, _PG_CELL = 24, 100.0
+
+
+def q_polygonize_grid(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < _PG_KEYS)
+    js = F.explode(F.sequence(F.lit(0), F.lit(_PG_KEYS - 2))).alias("j")
+    k = F.col("p_partkey").cast("double") * _PG_CELL
+    vert = p.select(k.alias("x"), js).select(
+        F.array(F.array("x", F.col("j") * _PG_CELL),
+                F.array("x", (F.col("j") + 1) * _PG_CELL)).alias("vertices")
+    )
+    horiz = p.select(k.alias("y"), js).select(
+        F.array(F.array(F.col("j") * _PG_CELL, F.col("y")),
+                F.array((F.col("j") + 1) * _PG_CELL, F.col("y"))).alias("vertices")
+    )
+    arcs = vert.unionAll(horiz)
+    faces = polygonize_tiled(arcs, tile_res=3)
+    return faces.agg(
+        F.count("*").alias("n_faces"),
+        F.round(F.sum("area"), 3).alias("total_area"),
+    )
+
+
+SQL_POLYGONIZE_GRID = f"""
+  with k as (select count(*) as c from part where p_partkey < {_PG_KEYS})
+  select cast((c - 1) * (c - 1) as bigint) as n_faces,
+         round((c - 1) * (c - 1) * {_PG_CELL!r} * {_PG_CELL!r}, 3) as total_area
+  from k
+"""
+
+
+# ---------------------------------------------------------------- pip convex quads
+_Q_N = 4  # 4x4 quad grid
+_Q_CELL = 65536.0 / _Q_N
+_Q_J = 0.18  # jitter fraction of a cell
+
+
+def _quad_corner_sql(ix: str, iy: str) -> tuple[str, str]:
+    """Jittered lattice corner (SQL): corner (ix, iy) of the quad grid,
+    jitter = +-_Q_J*cell from multiplicative hashes of the corner index,
+    pinned at the domain border."""
+    key = f"({ix} * 73 + {iy} * 179)"
+    jx = f"((((({key} * 2654435761) % 4294967296) / 4294967296.0) - 0.5) * {2 * _Q_J * _Q_CELL!r})"
+    jy = f"((((({key} * 2246822519) % 4294967296) / 4294967296.0) - 0.5) * {2 * _Q_J * _Q_CELL!r})"
+    x = f"(({ix}) * {_Q_CELL!r} + case when {ix} = 0 or {ix} = {_Q_N} then 0.0 else {jx} end)"
+    y = f"(({iy}) * {_Q_CELL!r} + case when {iy} = 0 or {iy} = {_Q_N} then 0.0 else {jy} end)"
+    return x, y
+
+
+def _quad_corner_cols(ix, iy):
+    key = ix * 73 + iy * 179
+    jx = (F.pmod(key * 2654435761, F.lit(4294967296)).cast("double") / 4294967296.0 - 0.5) * (2 * _Q_J * _Q_CELL)
+    jy = (F.pmod(key * 2246822519, F.lit(4294967296)).cast("double") / 4294967296.0 - 0.5) * (2 * _Q_J * _Q_CELL)
+    x = ix.cast("double") * _Q_CELL + F.when((ix == 0) | (ix == _Q_N), 0.0).otherwise(jx)
+    y = iy.cast("double") * _Q_CELL + F.when((iy == 0) | (iy == _Q_N), 0.0).otherwise(jy)
+    return x, y
+
+
+def q_pip_quads(spark, sf_dir):
+    # quads from supplier keys < 16 (CCW corner order)
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < _Q_N * _Q_N)
+    qi = F.col("s_suppkey") % _Q_N
+    qj = F.expr(f"s_suppkey div {_Q_N}")
+    corners = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        x, y = _quad_corner_cols(qi + di, qj + dj)
+        corners.append(F.array(x, y))
+    quads = s.select(F.col("s_suppkey").alias("poly_id"), F.array(*corners).alias("vertices"))
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("p_id"),
+        key_x(F.col("event_id")).alias("x"),
+        key_y(F.col("event_id")).alias("y"),
+    )
+    return point_in_polygon_join(pts, quads, res=4, convex=True).select("p_id", "poly_id")
+
+
+def _pip_quads_sql() -> str:
+    corner_exprs = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        x, y = _quad_corner_sql(f"(qi + {di})", f"(qj + {dj})")
+        corner_exprs.append((x, y))
+    (x1, y1), (x2, y2), (x3, y3), (x4, y4) = corner_exprs
+    cross = lambda ax, ay, bx, by: (  # noqa: E731
+        f"(({bx}) - ({ax})) * (py - ({ay})) - (({by}) - ({ay})) * (px - ({ax}))"
+    )
+    return f"""
+      with q as (select s_suppkey as poly_id, s_suppkey % {_Q_N} as qi,
+                        s_suppkey // {_Q_N} as qj
+                 from supplier where s_suppkey < {_Q_N * _Q_N}),
+      p as (select event_id as p_id, {key_x_sql('event_id')} as px,
+                   {key_y_sql('event_id')} as py from events)
+      select p_id, poly_id from p, q
+      where {cross(x1, y1, x2, y2)} >= 0
+        and {cross(x2, y2, x3, y3)} >= 0
+        and {cross(x3, y3, x4, y4)} >= 0
+        and {cross(x4, y4, x1, y1)} >= 0
+    """
+
+
+SQL_PIP_QUADS = _pip_quads_sql()
+
+
+# ---------------------------------------------------------------- lineage
+def q_lineage_counts(spark, sf_dir):
+    from .functions import cells as C
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        C.cell_of_xy(key_x(F.col("event_id")), key_y(F.col("event_id")), 4).alias("cell_id"),
+    )
+    return partition_lineage(ev).select("cell_id", "row_count")
+
+
+def _lineage_sql() -> str:
+    from .functions import cells as C
+
+    cell = C.cell_of_xy_sql(key_x_sql("event_id"), key_y_sql("event_id"), 4)
+    return f"""
+      select {cell} as cell_id, count(*) as row_count
+      from events group by 1
+    """
+
+
+SQL_LINEAGE_COUNTS = _lineage_sql()
+
+
+# ---------------------------------------------------------------- salted agg
+def q_salted_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev, "event_type",
+        aggs={"s": F.sum(F.col("value").cast("decimal(28,6)")),
+              "n": F.count("*")},
+        merge={"s": F.sum("s").cast("double"), "n": F.sum("n")},
+        threshold=100, n_salt=8,
+    ).select("event_type", F.round("s", 3).alias("total_value"), F.col("n").alias("n_events"))
+
+
+SQL_SALTED_AGG = """
+  select event_type,
+         round(cast(sum(cast(value as decimal(28,6))) as double), 3) as total_value,
+         count(*) as n_events
+  from events group by event_type
+"""
+
+
+# ---------------------------------------------------------------- rows-only
+def q_simhash_dup(spark, sf_dir):
+    return DD.dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    return SIM.ivf_topk(queries, emb, k=5, ncells=8, nprobe=3).select("q_id", "n_id", "rank")
+
+
+def _derived_images(spark, sf_dir):
+    """Deterministic fake-codec images derived from doc ids (binary
+    column + phash for tiling) — built inside the query because the
+    driver tables carry no binary payloads."""
+    from .functions.imagecodec import encode_image
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did))
+                h, w = 8 + int(did) % 9, 8 + (int(did) * 3) % 9
+                arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                fmt = "png" if did % 2 == 0 else "jpeg"
+                phash = int((did * 2654435761 % 4294967296) << 32) | int(did * 2246822519 % 4294967296)
+                if phash >= 1 << 63:  # wrap to signed int64
+                    phash -= 1 << 64
+                rows.append((str(did), encode_image(arr, fmt), w, h, fmt,
+                             f"caption-{did}", phash))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                              "fmt", "caption", "phash"])
+
+    return docs.mapInPandas(
+        gen,
+        schema="image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
+def q_image_decode_meta(spark, sf_dir):
+    return IM.decode_meta(_derived_images(spark, sf_dir))
+
+
+def q_image_tile_roundtrip(spark, sf_dir):
+    return IM.tile_roundtrip_report(_derived_images(spark, sf_dir), tile_res=2)
+
+
+def q_image_features(spark, sf_dir):
+    return IM.extract_features(_derived_images(spark, sf_dir), grid=2)
+
+
+QUERIES2 = {
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_lsh_dup": (q_minhash_lsh_dup, SQL_MINHASH_LSH),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "segment_split": (q_segment_split, SQL_SEGMENT_SPLIT),
+    "polygonize_grid": (q_polygonize_grid, SQL_POLYGONIZE_GRID),
+    "pip_quads": (q_pip_quads, SQL_PIP_QUADS),
+    "lineage_counts": (q_lineage_counts, SQL_LINEAGE_COUNTS),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "simhash_dup": (q_simhash_dup, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "image_decode_meta": (q_image_decode_meta, None),
+    "image_tile_roundtrip": (q_image_tile_roundtrip, None),
+    "image_features": (q_image_features, None),
+}

@@ -38,6 +38,9 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _band_pairs(sig_df: DataFrame, id_col: str, bands: int, rows: int,
                 max_bucket: int = 1000) -> DataFrame:
     """Candidate pairs sharing >= 1 LSH band bucket (a_id < b_id)."""
+    # docs with no shingles have NULL minhashes — they cannot be near-dups
+    # (and concat_ws would silently bucket them together)
+    sig_df = sig_df.filter(F.col("sig").getItem(0).isNotNull())
     banded = sig_df.select(
         F.col(id_col),
         F.explode(
