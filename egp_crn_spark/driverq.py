@@ -523,5 +523,7 @@ _BATCH1 = {
 QUERIES.update(_BATCH1)
 
 from .driverq2 import QUERIES2  # noqa: E402  (import after _BATCH1 to avoid cycles)
+from .driverq3 import QUERIES3  # noqa: E402
 
 QUERIES.update(QUERIES2)
+QUERIES.update(QUERIES3)

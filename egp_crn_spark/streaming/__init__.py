@@ -1,0 +1,60 @@
+"""Streaming & incremental processing.
+
+The reference has NO streaming (SURVEY.md §2.10): its incremental
+behaviour is snapshot-diff batch (deltas, crossings deltas, restore),
+mapped here to operators/deltas.py + sources.tables snapshot reads.
+
+This module adds the Structured Streaming surface a 100 TB ingestion
+pipeline needs anyway: file-source streams of image/event rows,
+watermarked windowed aggregation, streaming sessionization via
+session_window, and streaming tile-count maintenance (the incremental
+form of the tile-assignment job). All queries are expressed so the SAME
+transformations run in batch (`spark.read`) and streaming
+(`spark.readStream`) — tested with the memory sink +
+processAllAvailable().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions.georef import phash_x, phash_y
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Late-data-tolerant windowed counts per event type."""
+    # watermarks require TIMESTAMP (tz-aware); parquet event time is NTZ
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(F.window("ts", window), "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total_value")
+    )
+
+
+def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessions per user via session_window (the streaming twin
+    of driverq.q_sessionize)."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("first_ts")
+    )
+
+
+def streaming_tile_counts(images: DataFrame, res: int = 6) -> DataFrame:
+    """Incrementally maintained per-tile image counts — the streaming form
+    of the tile-assignment flagship (phash → cell, pure Column so the
+    plan is identical in batch and streaming)."""
+    return (
+        images.select(
+            C.cell_of_xy(phash_x(F.col("phash")), phash_y(F.col("phash")), res).alias("tile")
+        )
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"))
+    )
