@@ -1,0 +1,68 @@
+"""Physical-plan regression tests — the engine's scale contracts.
+
+These fail if a future change silently de-optimizes a headline query:
+filters must reach the parquet scan, column pruning must hold, dimension
+joins must broadcast, and pure-Column pipelines must stay out of Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from egp_crn_spark import plans
+from egp_crn_spark.driverq import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return QUERIES[name][0](spark, SF)
+
+
+def test_conflation_pushdown_and_broadcast(spark):
+    df = _plan(spark, "conflation_crn")
+    p = plans.physical_plan(df)
+    assert "LessThan(p_partkey,1024)" in p, "crn key filter must push into scan"
+    assert "LessThan(s_suppkey,64)" in p, "ngd key filter must push into scan"
+    assert plans.has_broadcast_join(df), "dimension sides must broadcast"
+    assert not plans.has_python_eval(df), "rect conflation is pure Column"
+
+
+def test_cell_assignment_prunes_and_stays_jvm(spark):
+    df = _plan(spark, "cell_assignment")
+    p = plans.physical_plan(df)
+    assert re.search(r"ReadSchema: struct<event_id:bigint>", p), \
+        "scan must read ONLY the key column"
+    assert plans.count_exchanges(df) == 0, "tile assignment must not shuffle"
+    assert not plans.has_python_eval(df)
+
+
+def test_distance_join_no_shuffle_when_broadcast(spark):
+    df = _plan(spark, "distance_join")
+    assert plans.count_exchanges(df) == 0
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_python_eval(df)
+
+
+def test_knn_single_shuffle(spark):
+    df = _plan(spark, "knn_nearest")
+    # only the window rank needs a shuffle; candidates broadcast
+    assert plans.count_exchanges(df) <= 1
+    assert not plans.has_python_eval(df)
+
+
+def test_minhash_stays_jvm(spark):
+    df = _plan(spark, "minhash_lsh_dup")
+    assert not plans.has_python_eval(df), "minhash/banding/jaccard are pure Column"
+
+
+def test_pip_python_is_filter_only(spark):
+    """PIP may use Python ONLY for the scalar refine filter: the plan must
+    contain at most Arrow-eval nodes (scalar pandas UDF), never a
+    whole-row MapInPandas exchange."""
+    df = _plan(spark, "pip_quads")
+    p = plans.physical_plan(df)
+    assert "FlatMapGroupsInPandas" not in p
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p
