@@ -1,0 +1,135 @@
+"""End-to-end pipeline: the reference's stage chain composed on one
+network — standardize → snap → topology validations → meshblock →
+conflation → linkage — plus the IO seam's snapshot reads driving deltas,
+and enforce_suggested_snapping."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from egp_crn_spark.operators import conflate as CF
+from egp_crn_spark.operators import meshblock as MB
+from egp_crn_spark.operators import standardize as ST
+from egp_crn_spark.operators import validate as V
+from egp_crn_spark.operators.linkage import link_arcs
+from egp_crn_spark.operators.segment import enforce_suggested_snapping
+from egp_crn_spark.operators.snap import snap_nodes
+from egp_crn_spark.operators.snapsuggest import suggested_snapping
+from egp_crn_spark.sources.tables import load_table, save_table, table_exists
+
+
+def _arc(sid, pts, **kw):
+    base = {"segment_id": sid, "segment_id_orig": kw.get("orig", "-1"),
+            "segment_type": kw.get("segment_type", 1), "boundary": kw.get("boundary", 0),
+            "bo_new": kw.get("bo_new", 0), "ngd_uid": kw.get("ngd_uid", -1),
+            "structure_type": kw.get("structure_type", "Unknown"),
+            "vertices": [[float(x), float(y)] for x, y in pts]}
+    return base
+
+
+@pytest.fixture(scope="module")
+def network(spark):
+    """A 2x2 grid road network (NRN) + one BO endpoint 0.05 off a node
+    (snaps) + junk rows standardize must clean."""
+    s = 1000.0
+    nrn = "c" * 32
+    rows = []
+    k = 0
+    for i in range(3):
+        for j in range(2):
+            rows.append(_arc(f"v{k}", [(i * s, j * s), (i * s, (j + 1) * s)], orig=nrn)); k += 1
+    for j in range(3):
+        for i in range(2):
+            rows.append(_arc(f"h{k}", [(i * s, j * s), ((i + 1) * s, j * s)], orig=nrn)); k += 1
+    # BO needing node snap: endpoint (0.05, 1000.03) ~0.058 from node (0,1000)
+    rows.append(_arc("bo_snap", [(0.05, 1000.03), (0.0, 3000.0)], segment_type=2,
+                     bo_new=1, ngd_uid=11))
+    # zero-length junk + bad domain value
+    rows.append(_arc("junk", [(5.0, 5.0), (5.0, 5.0)], structure_type="bad"))
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_full_pipeline(spark, network):
+    std = ST.standardize(network)
+    assert std.filter("segment_id = 'junk'").count() == 0  # zero-length dropped
+
+    snapped = snap_nodes(std).cache()
+    bo = snapped.filter("ngd_uid = 11").first()
+    assert list(bo.vertices[0]) == [0.0, 1000.0]  # endpoint snapped to grid node
+
+    flagged = V.validate_topology(snapped, codes=[101, 201, 303])
+    assert flagged.select(F.sum("v101") + F.sum("v201") + F.sum("v303")).first()[0] == 0
+
+    faces = MB.polygonize_meshblock(snapped, tile_res=4).cache()
+    assert faces.count() == 4  # 2x2 grid
+    np.testing.assert_allclose(sorted(r.area for r in faces.collect()), [1e6] * 4)
+
+    # conflation of faces (as rects) against one big NGD block covering all
+    fpd = faces.toPandas()
+    crn_rects = spark.createDataFrame(pd.DataFrame({
+        "crn_id": np.arange(1, 5, dtype=np.int64),
+        "xmin": [min(p[0] for p in v) for v in fpd.vertices],
+        "ymin": [min(p[1] for p in v) for v in fpd.vertices],
+        "xmax": [max(p[0] for p in v) for v in fpd.vertices],
+        "ymax": [max(p[1] for p in v) for v in fpd.vertices],
+    }))
+    ngd_rects = spark.createDataFrame(pd.DataFrame(
+        {"ngd_id": [1], "xmin": [0.0], "ymin": [0.0], "xmax": [2000.0], "ymax": [2000.0]}
+    ))
+    pairs = CF.conflate_pairs_rect(crn_rects, ngd_rects, res=6, broadcast_ngd=True)
+    crn_out, ngd_out, metrics = CF.classify_conflation(
+        pairs, crn_rects.select("crn_id"), ngd_rects.select("ngd_id"))
+    assert crn_out.filter("valid").count() == 4  # every face fully inside
+    assert ngd_out.filter("valid").count() == 1
+    assert metrics.first().invalid_total == 0
+
+    # linkage: faces carry the matched block id
+    faces_bb = spark.createDataFrame(
+        fpd.assign(bb_uid=np.int64(1))[["face_id", "vertices", "bb_uid"]])
+    ngd_arcs = spark.createDataFrame(pd.DataFrame(
+        {"ngd_uid": [500], "bb_uid_l": [1], "bb_uid_r": [1]}))
+    linked = link_arcs(snapped, faces_bb, ngd_arcs).toPandas()
+    walls = linked[linked.segment_id.str.startswith(("v", "h"))]
+    assert (walls.bb_uid_linked == "1").all()
+    assert (walls.ngd_uid_linked == "500").all()
+
+
+def test_snapshot_seam_and_deltas(spark, network, tmp_path):
+    """S8: snapshot/time-travel reads through the IO seam drive the delta
+    anti-joins."""
+    from egp_crn_spark.operators.deltas import missing_ids
+
+    base = str(tmp_path / "tbl")
+    std = ST.standardize(network)
+    save_table(std, base, snapshot="v1")
+    save_table(std.filter("ngd_uid != 11"), base, snapshot="v2")
+    assert table_exists(spark, base)
+    old = load_table(spark, base, snapshot="v1")
+    new = load_table(spark, base, snapshot="v2")
+    gone = missing_ids(old, new, "segment_id").toPandas()
+    assert list(gone.ngd_uid) == [11]
+
+
+def test_enforce_suggested_snapping_roundtrip(spark):
+    """The human-in-the-loop loop: generate suggestions → approve → apply;
+    edge-type application splits the road at the projected point."""
+    nrn = "d" * 32
+    rows = [
+        _arc("r1", [(0.0, 0.0), (100.0, 0.0)], orig=nrn),
+        _arc("bo_edge", [(50.0, 0.008), (50.0, 500.0)], segment_type=2, bo_new=1,
+             ngd_uid=21),
+    ]
+    arcs = spark.createDataFrame(pd.DataFrame(rows))
+    sugg = suggested_snapping(arcs, radius=20.0)
+    spd = sugg.toPandas()
+    assert list(spd.snapping_type) == ["edge"]
+    out = enforce_suggested_snapping(arcs, sugg).toPandas()
+    bo = out[out.segment_id == "bo_edge"].iloc[0]
+    assert list(bo.vertices[0]) == [50.0, 0.0]  # endpoint moved onto road
+    road_pieces = out[out.segment_id.str.startswith("r1#")]
+    assert len(road_pieces) == 2  # road split at (50, 0)
+    ends = sorted(tuple(p.vertices[-1]) for p in road_pieces.itertuples())
+    assert ends == [(50.0, 0.0), (100.0, 0.0)]

@@ -1,0 +1,80 @@
+"""One scaling-bench subprocess: run the three scaling jobs once each at
+SPARK_GRAFT_CPUS and print {"secs": {job: seconds}}."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import BOUNDARY_RES, ensure_images, image_points, q_pip_images, q_tile_assign  # noqa: E402
+from egp_crn_spark.functions import geomkernel as GK  # noqa: E402
+from egp_crn_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "20000000"))
+    img_path, bnd_path = ensure_images(n_images)
+    spark = get_session("scaling-worker", cores=cpus, driver_memory="24g")
+
+    # warm JVM + the Python worker daemon pool
+    spark.range(1000).count()
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(_noop, schema="id long").count()
+
+    secs: dict[str, float] = {}
+
+    def run(name, make_df):
+        df = make_df()
+        t0 = time.perf_counter()
+        df.count()
+        secs[name] = round(time.perf_counter() - t0, 3)
+
+    run("tile_assign", lambda: q_tile_assign(spark, img_path, bnd_path))
+    run("pip_images", lambda: q_pip_images(spark, img_path, bnd_path))
+
+    # Python-compute-bound kernel: exact PIP of EVERY image point against a
+    # fixed 64-vertex polygon, 20 passes over CACHE-BLOCKED chunks — per-core
+    # compute with an L2-resident working set and a tiny Arrow payload, so
+    # it measures core scaling rather than the single VM's memory bus.
+    theta = np.linspace(0, 2 * np.pi, 65)[:-1]
+    poly = np.stack([32768 + 20000 * np.cos(theta), 32768 + 20000 * np.sin(theta)], axis=1)
+
+    @F.pandas_udf("boolean")
+    def in_poly(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.values.astype(np.float64)
+        ys = y.values.astype(np.float64)
+        out = np.zeros(len(xs), dtype=bool)
+        block = 2048
+        for s in range(0, len(xs), block):
+            xb, yb = xs[s : s + block], ys[s : s + block]
+            k = GK.points_in_polygon(xb, yb, poly)
+            for _ in range(19):
+                k &= GK.points_in_polygon(xb, yb, poly)
+            out[s : s + block] = k
+        return pd.Series(out)
+
+    def kernel_df():
+        pts = image_points(spark, img_path).repartition(cpus * 4)
+        return pts.filter(in_poly(F.col("x"), F.col("y"))).groupBy().count()
+
+    run("refine_kernel", kernel_df)
+
+    print(json.dumps({"secs": secs, "cpus": cpus}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
