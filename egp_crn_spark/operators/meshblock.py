@@ -119,6 +119,75 @@ def polygonize_meshblock(arcs: DataFrame, tile_res: int = 4,
 
 
 # ---------------------------------------------------------------- validations
+def mb_v101_deadend_bo(arcs: DataFrame, id_col: str = "segment_id",
+                       vertices: str = "vertices") -> DataFrame:
+    """Validation 101 (meshblock namespace): BOs with an unintegrated
+    (deadend) node — validate_meshblock.py:291-310."""
+    from .snapsuggest import unintegrated_bo_nodes
+
+    un = unintegrated_bo_nodes(arcs, id_col, vertices).select("node")
+    bo_ends = N.endpoint_nodes(arcs.filter(F.col("segment_type") == 2), id_col, vertices)
+    return (
+        bo_ends.join(un, "node", "left_semi")
+        .select(F.col(id_col).alias("flagged_id"))
+        .distinct()
+    )
+
+
+def mb_v102_missing_bo(arcs: DataFrame, restore: DataFrame,
+                       bo_id: str = "ngd_uid") -> DataFrame:
+    """Validation 102: BO ids present in the restore snapshot but missing
+    from the working layer (validate_meshblock.py:312-337). Returns the
+    missing restore ROWS (the reference exports them, flags nothing)."""
+    current_ids = arcs.select(bo_id).distinct()
+    return (
+        restore.filter(F.col("segment_type") == 2)
+        .join(current_ids, bo_id, "left_anti")
+    )
+
+
+def validate_meshblock(arcs: DataFrame, restore: DataFrame,
+                       tile_res: int = 4,
+                       id_col: str = "segment_id") -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The composed meshblock stage (validate_meshblock.py:103-110 DAG):
+    connectivity (100, state only) → deadend-BO (101) → missing-BO (102)
+    → polygonize (200) → deadend-within (201) → BO-on-boundary (202).
+
+    Returns (arcs_with_flags, faces, progress) where progress mirrors the
+    reference's meshblock tracker (:245-254): Valid / Invalid /
+    Invalid (Missing BO) / Excluded counts.
+    """
+    spark = arcs.sparkSession
+    faces = polygonize_meshblock(arcs, tile_res=tile_res).cache()
+    flags = {
+        101: mb_v101_deadend_bo(arcs, id_col),
+        201: mb_v201_deadend_within(arcs, faces, id_col),
+        202: mb_v202_bo_on_boundary(arcs, faces, id_col),
+    }
+    out = arcs
+    for code, flagged in flags.items():
+        out = out.join(
+            flagged.withColumnRenamed("flagged_id", id_col).withColumn(f"v{code}", F.lit(1)),
+            id_col, "left",
+        ).fillna({f"v{code}": 0})
+
+    missing = mb_v102_missing_bo(arcs, restore)
+    n_total = arcs.count()
+    n_dead = N.deadends(arcs, id_col).select(id_col).distinct().count()
+    n_input = n_total - n_dead
+    n_invalid = out.filter((F.col("v201") == 1) | (F.col("v202") == 1)).count()
+    progress = spark.createDataFrame(
+        [
+            ("Valid", n_input - n_invalid),
+            ("Invalid", n_invalid),
+            ("Invalid (Missing BO)", missing.count()),
+            ("Excluded", n_dead),
+        ],
+        "status string, count long",
+    )
+    return out, faces, progress
+
+
 def mb_v201_deadend_within(arcs: DataFrame, faces: DataFrame,
                            id_col: str = "segment_id",
                            vertices: str = "vertices") -> DataFrame:

@@ -116,3 +116,20 @@ def test_nrn_modifications(spark, grid_net):
     nrn = shifted.unionByName(unshifted)
     mods = DL.nrn_modifications(nrn, grid_net, radius=5.0).toPandas()
     assert set(mods.segment_id) == {"h12"}
+
+
+def test_validate_meshblock_composed(spark, grid_net):
+    from egp_crn_spark.operators.meshblock import validate_meshblock
+
+    restore = grid_net  # snapshot == current → no missing BOs
+    flagged, faces, progress = validate_meshblock(grid_net, restore)
+    cols = set(flagged.columns)
+    assert {"v101", "v201", "v202"} <= cols
+    pf = flagged.toPandas().set_index("segment_id")
+    # the floating BO has two deadend nodes → v101; dead2 straddles → v201
+    assert pf.loc["bo_float", "v101"] == 1
+    assert pf.loc["dead2", "v201"] == 1
+    prog = {r.status: r["count"] for _, r in progress.toPandas().iterrows()}
+    assert prog["Invalid (Missing BO)"] == 0
+    assert prog["Excluded"] >= 2  # deadend arcs excluded from meshblock input
+    assert prog["Valid"] + prog["Invalid"] + prog["Excluded"] == grid_net.count()
