@@ -142,7 +142,9 @@ def main() -> None:
     run("tile_assign", lambda: q_tile_assign(spark, img_path, bnd_path))
     run("pip_images", lambda: q_pip_images(spark, img_path, bnd_path))
     for name in ["conflation_crn", "distance_join", "knn_nearest", "node_degree",
-                 "dup_geometry", "sessionize", "pricing_summary"]:
+                 "dup_geometry", "sessionize", "pricing_summary", "pip_quads",
+                 "minhash_lsh_dup", "embedding_topk", "segment_split",
+                 "neighbour_review", "token_stats"]:
         fn = QUERIES[name][0]
         run(name, lambda fn=fn: fn(spark, sf_dir))
 

@@ -35,7 +35,7 @@ def points_in_polygon(xs: np.ndarray, ys: np.ndarray, poly: np.ndarray) -> np.nd
     for i in range(n):
         ax, ay, bx, by = x1[i], y1[i], x2[i], y2[i]
         cond = (ay > ys) != (by > ys)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = ax + (ys - ay) * (bx - ax) / (by - ay)
         inside ^= cond & (xs < xint)
     return inside

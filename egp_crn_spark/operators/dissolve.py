@@ -14,8 +14,6 @@ keeps the largest-area ring when hole-free output is required.)
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -73,7 +73,6 @@ def enforce_suggested_snapping(arcs: DataFrame, snapping: DataFrame) -> DataFram
     from ..config import KNN_MAX_DISTANCE
     from . import nodes as N
     from .snap import apply_node_map
-    from .spatial_join import knn_join
 
     node_map = snapping.select(
         N.node_key(F.array("from_x", "from_y")).alias("from_node"),

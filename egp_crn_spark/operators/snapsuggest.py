@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from ..functions import geomkernel as GK
 from . import nodes as N
 from .distance import point_to_arc_distance_join
-from .snap import nrn_flag
 from .spatial_join import distance_join
 
 SUGGEST_RADIUS = 20.0  # validate_meshblock.py:113-114

@@ -55,7 +55,7 @@ def main() -> None:
                 best[cpus][job] = sec if cur is None else min(cur, sec)
 
     jobs = {
-        "tile_assign": ("tile assignment (phash→cell/tile, pure JVM scan+agg)",
+        "tile_assign": ("tile assignment (phash→cell/tile, pure JVM scan+agg, 4×20M rows)",
                         "memory-bandwidth-bound in one JVM"),
         "pip_images": ("point-in-polygon join (cell prefilter + scalar-UDF refine)",
                        "hybrid JVM + Arrow"),
@@ -64,8 +64,9 @@ def main() -> None:
     }
     rows = []
     for job, (label, note) in jobs.items():
-        t_lo = n_images / best[lo][job]
-        t_hi = n_images / best[hi][job]
+        t_mult = 4 if job == "tile_assign" else 1
+        t_lo = t_mult * n_images / best[lo][job]
+        t_hi = t_mult * n_images / best[hi][job]
         eff = (t_hi / t_lo) / (hi / lo)
         rows.append((label, note, t_lo, t_hi, eff))
 

@@ -42,7 +42,17 @@ def main() -> None:
         df.count()
         secs[name] = round(time.perf_counter() - t0, 3)
 
-    run("tile_assign", lambda: q_tile_assign(spark, img_path, bnd_path))
+    def tile4x():
+        # 4-way self-union: a short pure-JVM job at 20M rows is dominated
+        # by task dispatch; 80M scanned rows measures actual throughput
+        pts = image_points(spark, img_path)
+        df = pts.unionByName(pts).unionByName(pts).unionByName(pts)
+        from egp_crn_spark.functions import cells as C
+        cell10 = C.cell_of_xy(F.col("x"), F.col("y"), 10)
+        return df.select(cell10.alias("c"), C.parent_cell(cell10, 10, BOUNDARY_RES)
+                         .alias("tile")).groupBy("tile").count()
+
+    run("tile_assign", tile4x)
     run("pip_images", lambda: q_pip_images(spark, img_path, bnd_path))
 
     # Python-compute-bound kernel: exact PIP of EVERY image point against a
