@@ -41,6 +41,31 @@ def points_in_polygon(xs: np.ndarray, ys: np.ndarray, poly: np.ndarray) -> np.nd
     return inside
 
 
+def points_in_polygons_indexed(
+    xs: np.ndarray, ys: np.ndarray, stacked: np.ndarray, idx: np.ndarray
+) -> np.ndarray:
+    """Fully vectorized ray-cast for MANY (point, polygon) pairs at once:
+    ``stacked`` is (P, V, 2) — P polygons sharing vertex count V —
+    and ``idx`` maps each point row to its polygon. One pass per edge,
+    zero per-polygon Python; the fast path of the PIP refine when
+    polygons are grouped by vertex count."""
+    n, V = len(xs), stacked.shape[1]
+    inside = np.zeros(n, dtype=bool)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    for i in range(V):
+        j = (i + 1) % V
+        ax = stacked[idx, i, 0]
+        ay = stacked[idx, i, 1]
+        bx = stacked[idx, j, 0]
+        by = stacked[idx, j, 1]
+        cond = (ay > ys) != (by > ys)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            xint = ax + (ys - ay) * (bx - ax) / (by - ay)
+        inside ^= cond & (xs < xint)
+    return inside
+
+
 def polygon_area(poly: np.ndarray) -> float:
     """Shoelace area."""
     x, y = poly[:, 0], poly[:, 1]

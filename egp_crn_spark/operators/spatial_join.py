@@ -204,23 +204,28 @@ def pip_refine_udf(spark, polys: DataFrame):
         int(r["poly_id"]): np.asarray([list(p) for p in r["vertices"]], dtype=np.float64)
         for r in polys.select("poly_id", "vertices").toLocalIterator()
     }
-    bc = spark.sparkContext.broadcast(polys_local)
+    # group polygons by vertex count so the kernel vectorizes across ALL
+    # candidate rows of a batch (one gather-indexed ray-cast pass per edge)
+    by_count: dict[int, tuple[dict[int, int], np.ndarray]] = {}
+    for v_count in {len(a) for a in polys_local.values()}:
+        ids = [pid for pid, a in polys_local.items() if len(a) == v_count]
+        stacked = np.stack([polys_local[pid] for pid in ids])
+        by_count[v_count] = ({pid: i for i, pid in enumerate(ids)}, stacked)
+    bc = spark.sparkContext.broadcast(by_count)
 
     @F.pandas_udf("boolean")
     def pip_ok(x: pd.Series, y: pd.Series, poly_id: pd.Series) -> pd.Series:
-        lookup = bc.value
+        groups = bc.value
         xs = x.values.astype(np.float64)
         ys = y.values.astype(np.float64)
         key = poly_id.values
         keep = np.zeros(len(xs), dtype=bool)
-        # argsort run-partitioning: one vectorized kernel call per polygon
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        ends = np.r_[starts[1:], len(ks)]
-        for s, e in zip(starts, ends):
-            idx = order[s:e]
-            keep[idx] = GK.points_in_polygon(xs[idx], ys[idx], lookup[int(ks[s])])
+        for pos_map, stacked in groups.values():
+            idx = np.fromiter((pos_map.get(int(p), -1) for p in key),
+                              dtype=np.int64, count=len(key))
+            m = idx >= 0
+            if m.any():
+                keep[m] = GK.points_in_polygons_indexed(xs[m], ys[m], stacked, idx[m])
         return pd.Series(keep)
 
     return pip_ok
