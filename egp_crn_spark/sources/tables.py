@@ -55,6 +55,25 @@ def save_table(
     df.write.mode(mode).parquet(path_or_name)
 
 
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int | None = None,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_col``
+    between tables bucketed the same way need NO shuffle (the engine's
+    co-location primitive for repeatedly-joined fact tables — e.g. the
+    images table and its tile-assignment outputs bucketed on cell_id).
+    On Iceberg this maps to a `bucket(N, col)` partition transform."""
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    writer = df.write.mode("overwrite").bucketBy(n, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(name)
+
+
 def table_exists(spark: SparkSession, path_or_name: str) -> bool:
     """Reference `fiona.listlayers` probe (validate_topology.py:66-73)."""
     if _ICEBERG:  # pragma: no cover
