@@ -58,3 +58,42 @@ def streaming_tile_counts(images: DataFrame, res: int = 6) -> DataFrame:
         .groupBy("tile")
         .agg(F.count("*").alias("n"))
     )
+
+
+def streaming_dedup(stream: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", shards: int = 32) -> DataFrame:
+    """Custom stateful operator: exact dedup ACROSS micro-batches.
+
+    State = the set of content hashes seen so far, sharded by hash prefix
+    so state is partitioned (each shard's state stays bounded and the
+    state store scales horizontally). First occurrence of a hash is
+    emitted; later occurrences — in the same or any later micro-batch —
+    are dropped. The streaming twin of operators/dedup.dedup_exact.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("ck"),
+    ).withColumn("shard", F.pmod(F.xxhash64("ck"), F.lit(shards)))
+
+    def dedup_fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out_ids, out_cks = [], []
+        for pdf in pdfs:
+            for did, ck in zip(pdf["doc_id"], pdf["ck"]):
+                if ck not in seen:
+                    seen.add(ck)
+                    out_ids.append(did)
+                    out_cks.append(ck)
+        state.update((list(seen),))
+        yield pd.DataFrame({"doc_id": out_ids, "ck": out_cks})
+
+    return hashed.groupBy("shard").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="doc_id long, ck string",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -135,3 +135,35 @@ def test_streaming_tile_counts(spark, tmp_path, fixtures_dir):
     want = streaming_tile_counts(src).toPandas()
     assert got.n.sum() == want.n.sum() == src.count()
     assert len(got) == len(want)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: duplicates are suppressed across
+    micro-batches, not just within one."""
+    import pandas as pd
+
+    from egp_crn_spark.streaming import streaming_dedup
+
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    b1 = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["aa", "bb", "aa", "cc"]})  # 3 in-batch dup of 1
+    b1.to_parquet(src_dir / "b1.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src_dir))
+    q = (streaming_dedup(stream).writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    got1 = spark.sql("select * from dedup_out").toPandas()
+    assert sorted(got1.doc_id) == [1, 2, 4]
+
+    # batch 2: 5 dups batch-1 text; 6 is new; 7 dups within batch 2
+    b2 = pd.DataFrame({"doc_id": [5, 6, 7, 8],
+                       "text": ["bb", "dd", "ee", "ee"]})
+    b2.to_parquet(src_dir / "b2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    got2 = spark.sql("select * from dedup_out").toPandas()
+    assert sorted(got2.doc_id) == [1, 2, 4, 6, 7]
