@@ -52,10 +52,10 @@ def q_token_stats(spark, sf_dir):
     feats = TX.quality_features(F.col("text"))
     return d.select(
         "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
-        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-        feats["n_stopwords"].alias("n_stopwords"),
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        feats["n_stopwords"].cast("long").alias("n_stopwords"),
         feats["stop_ratio"].alias("stop_ratio"),
         feats["punct_ratio"].alias("punct_ratio"),
         feats["mean_token_len"].alias("mean_token_len"),
@@ -233,7 +233,8 @@ def q_embedding_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
     )
-    return SIM.brute_force_topk(queries, emb, k=3).select("q_id", "n_id", "rank")
+    return SIM.brute_force_topk(queries, emb, k=3).select(
+        "q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
 
 SQL_EMBEDDING_TOPK = """

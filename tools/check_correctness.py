@@ -76,6 +76,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        else:
+            mismatched = [
+                (c, str(sdf[c].dtype), str(odf[c].dtype))
+                for c in sdf.columns
+                if str(sdf[c].dtype) != str(odf[c].dtype)
+            ]
+            if mismatched:
+                problems.append(f"dtypes differ: {mismatched}")
         if not problems:
             hs, ho = value_hash(sdf), value_hash(odf)
             if hs != ho:
