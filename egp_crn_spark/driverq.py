@@ -27,7 +27,27 @@ from .operators import conflate as CF
 from .operators import spatial_join as SJ
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Workers resolve egp_crn_spark only if the package is shipped (or
+    cwd happens to be the repo); ship once per session so queries() works
+    under any driver harness."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    try:
+        from .session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already on the workers' path
+    _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

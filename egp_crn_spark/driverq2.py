@@ -26,6 +26,9 @@ from .operators.spatial_join import point_in_polygon_join
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .driverq import ensure_shipped
+
+    ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

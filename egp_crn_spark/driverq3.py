@@ -9,6 +9,9 @@ from .operators.neighbours import compare_neighbours
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .driverq import ensure_shipped
+
+    ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
