@@ -124,12 +124,13 @@ SQL_LANG_ID = _lang_sql()
 # ---------------------------------------------------------------- fingerprint
 def q_doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sh = TX.shingles(F.col("text"), 3)
-    return d.select(
-        "doc_id",
-        TX.doc_fingerprint(F.col("text")).alias("fp"),
-        TX.minhash_md5(sh, 0).alias("mh0"),
-        TX.minhash_md5(sh, 1).alias("mh1"),
+    sig = DD.minhash_signatures(d, "text", "doc_id", num_hashes=2, k=3, use_md5=True)
+    return (
+        d.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
+        .join(sig, "doc_id", "left")
+        .select("doc_id", "fp",
+                F.col("sig").getItem(0).alias("mh0"),
+                F.col("sig").getItem(1).alias("mh1"))
     )
 
 

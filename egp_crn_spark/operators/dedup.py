@@ -18,7 +18,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import minhash_signature_md5, minhash_signature_xx, shingles, tokens
+from .text import shingles, tokens
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as ONE partition; CPU-heavy
+    per-row expressions then run single-threaded. Spread them."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int, k: int, use_md5: bool) -> DataFrame:
+    """(id, sig array): minhash signatures via EXPLODE + min-aggregate.
+
+    Why not nested array expressions: Catalyst's subexpression
+    elimination cannot reach inside higher-order-function lambdas, so a
+    `transform(shingles(text), ...)` per hash re-evaluates the tokenizer
+    per element — O(tokens²) per document. Exploding shingles to rows
+    computes them once in the Generate operator and turns the hashes
+    into flat, codegen-friendly projections; the groupBy(id) min is one
+    shuffle on the id.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_g"))
+    if use_md5:
+        hashes = [F.md5(F.concat(F.lit(f"h{h}|"), F.col("_g"))).alias(f"_h{h}")
+                  for h in range(num_hashes)]
+    else:
+        hashes = [F.xxhash64(F.lit(h), F.col("_g")).alias(f"_h{h}") for h in range(num_hashes)]
+    return (
+        ex.select(id_col, *hashes)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)])
+        .select(id_col, F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("sig"))
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -102,8 +137,8 @@ def dedup_minhash_lsh(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigfn = minhash_signature_md5 if use_md5 else minhash_signature_xx
-    sig = df.select(F.col(id_col), sigfn(F.col(text_col), num_hashes, k).alias("sig"))
+    df = _ensure_parallelism(df)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, use_md5)
     pairs = _band_pairs(sig, id_col, bands, rows, max_bucket)
     return exact_jaccard(df, pairs, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
@@ -115,6 +150,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         k: int = 3, threshold: float = 0.5) -> DataFrame:
     """EXACT all-pairs Jaccard >= threshold via shingle explode-join:
     pairs sharing no shingle never meet (the relational prefilter)."""
+    df = _ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s")
     )
@@ -175,7 +211,7 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
     via 4x16-bit band buckets (guarantees recall for hamming <= 3);
     verification via bit_count(xor)."""
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    sig = _ensure_parallelism(df).select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     banded = sig.select(
         id_col, "sh",
         F.explode(
