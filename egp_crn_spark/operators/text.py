@@ -90,16 +90,18 @@ def predicted_lang(text: Column) -> Column:
 
 # ---------------------------------------------------------------- shingles + minhash
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (documents shorter than k words → empty)."""
+    """Word k-shingles as strings (documents shorter than k words → empty).
+
+    Built from arrays_zip of k shifted slices — NOT element_at inside a
+    transform lambda: Catalyst cannot eliminate subexpressions inside
+    higher-order lambdas, so a lambda referencing the tokenizer would
+    re-split the text per element (O(tokens²) per document)."""
     toks = tokens(text)
     n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
-        )
+    length = F.greatest(n - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, length) for j in range(k)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )
 
 
