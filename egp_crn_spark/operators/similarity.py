@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import cosine_sim
+from .dedup import _ensure_parallelism, cosine_sim
 
 
 def _as_double(vec_col: str):
@@ -35,7 +35,8 @@ def brute_force_topk(
     queries: (q_id, vec). corpus: (id_col, vec_col). Exhaustive —
     baseline only; the corpus side streams, queries broadcast."""
     q = F.broadcast(queries.select(F.col("q_id"), F.col("qv")))
-    c = corpus.select(F.col(id_col).alias("n_id"), _as_double(vec_col).alias("cv"))
+    c = _ensure_parallelism(
+        corpus.select(F.col(id_col).alias("n_id"), _as_double(vec_col).alias("cv")))
     scored = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim")
     )
@@ -102,7 +103,7 @@ def ivf_topk(
     cell equi-join (same shape as the spatial prefilter)."""
     C = centroids if centroids is not None else train_centroids(corpus, ncells, vec_col)
     cvec = _as_double(vec_col)
-    bucketed = corpus.select(
+    bucketed = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("n_id"),
         cvec.alias("cv"),
         F.element_at(_nearest_centroids_expr(cvec, C, 1), 1).alias("cell"),
