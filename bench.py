@@ -148,6 +148,15 @@ def main() -> None:
         fn = QUERIES[name][0]
         run(name, lambda fn=fn: fn(spark, sf_dir))
 
+    # production hash paths (the driver-contract twins above run md5
+    # oracle mode; users run xxhash64 — bench BOTH per VERDICT r1 item 6)
+    from egp_crn_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
+
+    docs = lambda: spark.read.parquet(f"{sf_dir}/documents.parquet")  # noqa: E731
+    run("minhash_lsh_xx", lambda: dedup_minhash_lsh(
+        docs(), num_hashes=8, bands=4, threshold=0.5, use_md5=False))
+    run("simhash_xx", lambda: dedup_simhash(docs(), max_hamming=3))
+
     total = round(sum(timings.values()), 3)
     spatial_rows = n_images  # rows pushed through tile assignment + PIP
     print(json.dumps({

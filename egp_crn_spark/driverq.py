@@ -544,6 +544,8 @@ QUERIES.update(_BATCH1)
 
 from .driverq2 import QUERIES2  # noqa: E402  (import after _BATCH1 to avoid cycles)
 from .driverq3 import QUERIES3  # noqa: E402
+from .driverq4 import QUERIES4  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
+QUERIES.update(QUERIES4)

@@ -209,19 +209,22 @@ SQL_MINHASH_LSH = _minhash_sql()
 
 # ---------------------------------------------------------------- ngram jaccard
 _NG_T = 0.4
+_NG_MAX_DF = 5  # exercises the hot-shingle cap (sf0.01 has shingles with df up to 7)
 
 
 def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=_NG_T
+        _t(spark, sf_dir, "documents"), threshold=_NG_T, max_df=_NG_MAX_DF
     ).select("a_id", "b_id", "jaccard")
 
 
 SQL_NGRAM_JACCARD = f"""
   with t as (select doc_id, {_TOKS} as toks from documents),
   s as (select doc_id, list_distinct({_SHINGLES_SQL}) as sh from t),
-  ex as (select doc_id, unnest(sh) as g from s),
-  sizes as (select doc_id, len(sh) as n from s),
+  ex0 as (select doc_id, unnest(sh) as g from s),
+  dfreq as (select g, count(*) as df from ex0 group by g),
+  ex as (select ex0.* from ex0 join dfreq using (g) where df <= {_NG_MAX_DF}),
+  sizes as (select doc_id, count(*) as n from ex group by doc_id),
   co as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as inter
          from ex a join ex b using (g) where a.doc_id < b.doc_id group by 1, 2)
   select a_id, b_id, inter / (na.n + nb.n - inter) as jaccard
@@ -456,37 +459,186 @@ SQL_SALTED_AGG = """
 """
 
 
-# ---------------------------------------------------------------- rows-only
+# ---------------------------------------------------------------- simhash
+_SH_HAMMING = 3  # → 4 bands of 16 bits (pigeonhole-exact recall)
+
+
 def q_simhash_dup(spark, sf_dir):
-    return DD.dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return DD.dedup_simhash(
+        _t(spark, sf_dir, "documents"), max_hamming=_SH_HAMMING, use_md5=True
+    ).select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of the md5-mode simhash64 + banded candidate join:
+    bit b of a token's 64-bit hash = bit (b%4) of hex nibble (16 - b//4)
+    of md5('sh|' || token)."""
+    nib = "strpos('0123456789abcdef', substr(md5('sh|' || tk), 16 - (b // 4), 1)) - 1"
+    return f"""
+      with t as (select doc_id, {_TOKS} as toks from documents),
+      tok as (select doc_id, unnest(toks) as tk from t),
+      bits as (select doc_id, tk, unnest(range(0, 64)) as b from tok),
+      votes as (select doc_id, b,
+                       sum(case when (({nib}) >> (b % 4)) & 1 = 1
+                                then 1 else -1 end) as v
+                from bits group by doc_id, b),
+      sh as (select doc_id,
+                    sum(case when v > 0 then
+                          case when b = 63 then (-9223372036854775807 - 1)
+                               else (1::bigint << cast(b as int)) end
+                        else 0 end) as sh
+             from votes group by doc_id),
+      banded as (select doc_id, sh, band,
+                        (sh >> (band * 16)) & 65535 as bucket
+                 from sh, (select unnest(range(0, 4)) as band)),
+      sizes as (select band, bucket, count(*) as c from banded group by 1, 2),
+      ok as (select band, bucket from sizes where c <= 1000),
+      bd as (select banded.* from banded join ok using (band, bucket)),
+      pairs as (select distinct a.doc_id as a_id, b.doc_id as b_id,
+                                a.sh as sha, b.sh as shb
+                from bd a join bd b using (band, bucket)
+                where a.doc_id < b.doc_id)
+      select a_id, b_id, cast(bit_count(xor(sha, shb)) as bigint) as hamming
+      from pairs where bit_count(xor(sha, shb)) <= {_SH_HAMMING}
+    """
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+# ---------------------------------------------------------------- IVF ANN
+# Data-independent seeded centroids make the coarse quantizer itself
+# SQL-expressible (inlined literal matrix) — the IVF path gets a FULL
+# value oracle instead of a rows-only check. (Data-trained k-means
+# centroids remain available via similarity.train_centroids; the
+# quantizer algebra is identical.)
+_IVF_NCELLS, _IVF_NPROBE, _IVF_K, _IVF_DIM = 8, 3, 5, 64
+
+
+def _ivf_centroids() -> np.ndarray:
+    rng = np.random.default_rng(20240816)
+    C = rng.standard_normal((_IVF_NCELLS, _IVF_DIM))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+_IVF_C = _ivf_centroids()
+
+
+def _ivf_queries(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
 
 
 def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    return SIM.ivf_topk(
+        _ivf_queries(spark, sf_dir), emb,
+        k=_IVF_K, ncells=_IVF_NCELLS, nprobe=_IVF_NPROBE, centroids=_IVF_C,
+    ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _centroid_values_sql() -> str:
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in _IVF_C[j])}]::double[])"
+        for j in range(_IVF_NCELLS)
     )
-    return SIM.ivf_topk(queries, emb, k=5, ncells=8, nprobe=3).select("q_id", "n_id", "rank")
+    return f"(values {rows}) as cent(cell, cv)"
+
+
+def _ivf_core_sql() -> str:
+    """CTEs: q (queries), corpus cell assignment, ivf top-k result."""
+    return f"""
+      q as (select vec_id as q_id, embedding::DOUBLE[] as qv
+            from embeddings where vec_id % 50 = 0),
+      corpus as (select vec_id as n_id, embedding::DOUBLE[] as nv from embeddings),
+      cent as (select * from {_centroid_values_sql()}),
+      n_assign as (
+        select n_id, nv, cell from (
+          select n_id, nv, cell,
+                 row_number() over (partition by n_id
+                                    order by list_inner_product(nv, cv) desc,
+                                             cell desc) as rn
+          from corpus, cent) where rn = 1),
+      probes as (
+        select q_id, qv, cell from (
+          select q_id, qv, cell,
+                 row_number() over (partition by q_id
+                                    order by list_inner_product(qv, cv) desc,
+                                             cell desc) as rn
+          from q, cent) where rn <= {_IVF_NPROBE}),
+      scored as (
+        select q_id, n_id, list_cosine_similarity(qv, nv) as sim
+        from probes join n_assign using (cell)
+        where q_id != n_id),
+      ivf as (
+        select q_id, n_id, rank from (
+          select q_id, n_id,
+                 row_number() over (partition by q_id
+                                    order by sim desc, n_id asc) as rank
+          from scored) where rank <= {_IVF_K})
+    """
+
+
+SQL_IVF_TOPK = f"""
+  with {_ivf_core_sql()}
+  select q_id, n_id, rank from ivf
+"""
+
+
+def q_ivf_recall(spark, sf_dir):
+    """One-row recall@k of the IVF path against the exact brute-force
+    baseline — exact-integer outputs so the oracle hash is stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _ivf_queries(spark, sf_dir)
+    ivf = SIM.ivf_topk(queries, emb, k=_IVF_K, ncells=_IVF_NCELLS,
+                       nprobe=_IVF_NPROBE, centroids=_IVF_C).select("q_id", "n_id")
+    bf = SIM.brute_force_topk(queries, emb, k=_IVF_K).select("q_id", "n_id")
+    hits = ivf.join(bf, ["q_id", "n_id"], "left_semi").agg(
+        F.count("*").alias("total_hits"))
+    nq = queries.agg(F.count("*").alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        F.lit(_IVF_K).cast("long").alias("k"), "n_queries", "total_hits")
+
+
+SQL_IVF_RECALL = f"""
+  with {_ivf_core_sql()},
+  bf as (
+    select q_id, n_id from (
+      select q.q_id, c.n_id,
+             row_number() over (partition by q.q_id
+                                order by list_cosine_similarity(q.qv, c.nv) desc,
+                                         c.n_id asc) as rank
+      from q, corpus c where q.q_id != c.n_id) where rank <= {_IVF_K})
+  select {_IVF_K}::bigint as k,
+         (select count(*) from q) as n_queries,
+         (select count(*) from ivf join bf using (q_id, n_id)) as total_hits
+"""
 
 
 def _derived_images(spark, sf_dir):
     """Deterministic fake-codec images derived from doc ids (binary
     column + phash for tiling) — built inside the query because the
-    driver tables carry no binary payloads."""
+    driver tables carry no binary payloads. Pixel values follow the
+    CLOSED-FORM rule v(i,j,c) = (doc_id*31 + 7i + 13j + 29c) % 256 so a
+    DuckDB oracle can recompute decoded statistics without the codec."""
     from .functions.imagecodec import encode_image
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(it):
+        i = np.arange(17)[:, None, None]
+        j = np.arange(17)[None, :, None]
+        c = np.arange(3)[None, None, :]
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
-                rng = np.random.default_rng(int(did))
-                h, w = 8 + int(did) % 9, 8 + (int(did) * 3) % 9
-                arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                did = int(did)
+                h, w = 8 + did % 9, 8 + (did * 3) % 9
+                arr = ((did * 31 + 7 * i[:h] + 13 * j[:, :w] + 29 * c) % 256).astype(np.uint8)
                 fmt = "png" if did % 2 == 0 else "jpeg"
-                phash = int((did * 2654435761 % 4294967296) << 32) | int(did * 2246822519 % 4294967296)
+                phash = int(did * 2654435761 % 4294967296) << 32 | int(did * 2246822519 % 4294967296)
                 if phash >= 1 << 63:  # wrap to signed int64
                     phash -= 1 << 64
                 rows.append((str(did), encode_image(arr, fmt), w, h, fmt,
@@ -500,16 +652,108 @@ def _derived_images(spark, sf_dir):
     )
 
 
+# decoded pixels of the derived images as SQL rows: lossy (jpeg) images are
+# quantized by the stand-in codec (step 4, dequantize to bin centers) —
+# (image_id, w, h, lossless, i, j, c, d) per pixel.
+_DECODED_PX_SQL = """
+  imgs as (select doc_id, cast(doc_id as varchar) as image_id,
+                  8 + doc_id % 9 as h, 8 + (doc_id * 3) % 9 as w,
+                  doc_id % 2 = 0 as lossless
+           from documents),
+  ii as (select imgs.*, unnest(range(0, h)) as i from imgs),
+  jj as (select ii.*, unnest(range(0, w)) as j from ii),
+  cc as (select jj.*, unnest(range(0, 3)) as c from jj),
+  px as (select image_id, doc_id, w, h, lossless, i, j, c,
+                (doc_id * 31 + i * 7 + j * 13 + c * 29) % 256 as v
+         from cc),
+  dec as (select px.*,
+                 case when lossless then v else (v // 4) * 4 + 2 end as d
+          from px)
+"""
+
+
 def q_image_decode_meta(spark, sf_dir):
     return IM.decode_meta(_derived_images(spark, sf_dir))
+
+
+SQL_IMAGE_DECODE_META = f"""
+  with {_DECODED_PX_SQL}
+  select image_id, cast(w as int) as w, cast(h as int) as h,
+         cast(3 as int) as channels, lossless,
+         avg(cast(d as double)) as mean_px
+  from dec
+  group by image_id, w, h, lossless
+"""
 
 
 def q_image_tile_roundtrip(spark, sf_dir):
     return IM.tile_roundtrip_report(_derived_images(spark, sf_dir), tile_res=2)
 
 
+def _tile_roundtrip_sql() -> str:
+    from .functions import cells as C
+
+    scale = 65536.0 / 4294967296  # EXTENT / 2**PHASH_AXIS_BITS
+    x = f"(((doc_id * 2654435761) % 4294967296) + 0.5) * {scale!r}"
+    y = f"(((doc_id * 2246822519) % 4294967296) + 0.5) * {scale!r}"
+    tile = C.cell_of_xy_sql(x, y, 2)
+    return f"""
+      with {_DECODED_PX_SQL},
+      -- per-image distortion of JPEG-ifying the DECODED pixels: finite
+      -- for lossless sources (d = v → quantize), inf (null here) for
+      -- lossy ones where the stand-in quantizer is idempotent. The
+      -- own-format roundtrip is exact/inf for every stand-in image, so
+      -- ok is always true (the engine still computes it).
+      per_img as (
+        select image_id, any_value(doc_id) as doc_id, any_value(lossless) as lossless,
+               case when any_value(lossless) then
+                 20.0 * log10(255.0)
+                 - 10.0 * log10(avg(cast((d - ((d // 4) * 4 + 2))
+                                         * (d - ((d // 4) * 4 + 2)) as double)))
+               end as lossy_psnr
+        from dec group by image_id),
+      scored as (
+        select cast({tile} as bigint) as tile, true as ok,
+               lossy_psnr as finite_psnr
+        from per_img)
+      select tile, count(*) as n_images,
+             cast(sum(case when ok then 1 else 0 end) as bigint) as n_ok,
+             cast(sum(case when ok then 0 else 1 end) as bigint) as n_fail,
+             coalesce(min(finite_psnr), -1.0) as min_psnr
+      from scored group by tile
+    """
+
+
+SQL_IMAGE_TILE_ROUNDTRIP = _tile_roundtrip_sql()
+
+
 def q_image_features(spark, sf_dir):
-    return IM.extract_features(_derived_images(spark, sf_dir), grid=2)
+    """Grid-pooled mean features, unpacked to scalar columns (array
+    columns are unhashable for the harness canonicalization; scalars also
+    enable the DuckDB oracle)."""
+    feats = IM.extract_features(_derived_images(spark, sf_dir), grid=2)
+    return feats.select(
+        "image_id",
+        *[F.element_at("feature", k + 1).alias(f"f{k}") for k in range(4)],
+    )
+
+
+SQL_IMAGE_FEATURES = f"""
+  with {_DECODED_PX_SQL},
+  blocks as (select image_id,
+                    case when i < h // 2 then 0 else 1 end as gi,
+                    case when j < w // 2 then 0 else 1 end as gj,
+                    d
+             from dec),
+  pooled as (select image_id, gi, gj, avg(cast(d as double)) as m
+             from blocks group by image_id, gi, gj)
+  select image_id,
+         max(case when gi = 0 and gj = 0 then m end) as f0,
+         max(case when gi = 0 and gj = 1 then m end) as f1,
+         max(case when gi = 1 and gj = 0 then m end) as f2,
+         max(case when gi = 1 and gj = 1 then m end) as f3
+  from pooled group by image_id
+"""
 
 
 QUERIES2 = {
@@ -525,9 +769,10 @@ QUERIES2 = {
     "pip_quads": (q_pip_quads, SQL_PIP_QUADS),
     "lineage_counts": (q_lineage_counts, SQL_LINEAGE_COUNTS),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
-    "simhash_dup": (q_simhash_dup, None),
-    "ivf_topk": (q_ivf_topk, None),
-    "image_decode_meta": (q_image_decode_meta, None),
-    "image_tile_roundtrip": (q_image_tile_roundtrip, None),
-    "image_features": (q_image_features, None),
+    "simhash_dup": (q_simhash_dup, SQL_SIMHASH),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "ivf_recall": (q_ivf_recall, SQL_IVF_RECALL),
+    "image_decode_meta": (q_image_decode_meta, SQL_IMAGE_DECODE_META),
+    "image_tile_roundtrip": (q_image_tile_roundtrip, SQL_IMAGE_TILE_ROUNDTRIP),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
 }

@@ -189,6 +189,44 @@ def polylines_cross_shapely(a: np.ndarray, b: np.ndarray) -> bool:
     return False
 
 
+def polyline_crosses_ring(line: np.ndarray, ring: np.ndarray) -> bool:
+    """Does any line segment properly cross an edge of the (unclosed)
+    ring? Vectorized: one pass per line segment over all ring edges."""
+    r1 = ring
+    r2 = np.roll(ring, -1, axis=0)
+    for i in range(len(line) - 1):
+        p1 = np.repeat(line[i : i + 1], len(ring), axis=0)
+        p2 = np.repeat(line[i + 1 : i + 2], len(ring), axis=0)
+        if segments_properly_intersect(p1, p2, r1, r2).any():
+            return True
+    return False
+
+
+def polyline_within_polygon(line: np.ndarray, shell: np.ndarray,
+                            holes: list[np.ndarray] | tuple = ()) -> bool:
+    """Is the polyline within the polygon (shell boundary inclusive, hole
+    interiors excluded) — shapely `within` for the meshblock 201 check
+    (validate_meshblock.py:368-392)?
+
+    Sample test (all vertices + segment midpoints inside) PLUS a proper-
+    crossing test of every line segment against every ring edge — the
+    crossing test catches a segment that exits and re-enters a CONCAVE
+    shell between sample points, which sampling alone misses."""
+    mids = (line[1:] + line[:-1]) / 2.0
+    pts = np.vstack([line, mids])
+    if not points_in_polygon(pts[:, 0], pts[:, 1], shell).all():
+        return False
+    if polyline_crosses_ring(line, shell):
+        return False
+    for h in holes:
+        h = np.asarray(h, dtype=np.float64)
+        if points_in_polygon(pts[:, 0], pts[:, 1], h).any():
+            return False
+        if polyline_crosses_ring(line, h):
+            return False
+    return True
+
+
 def polylines_overlap(a: np.ndarray, b: np.ndarray) -> bool:
     """shapely-`overlaps` semantics for polylines: they share a
     positive-length collinear section but neither equals the other.

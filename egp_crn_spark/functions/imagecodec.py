@@ -19,22 +19,50 @@ contract only.
 
 from __future__ import annotations
 
+import io
 import struct
 import zlib
 
 import numpy as np
 
+try:  # real codecs when the runtime has Pillow — sandbox does not
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised only without PIL
+    _PILImage = None
+    HAS_PIL = False
+
 MAGIC_LOSSLESS = b"FPN1"
 MAGIC_LOSSY = b"FJP1"
+_PNG_MAGIC = b"\x89PNG"
+_JPEG_MAGIC = b"\xff\xd8"
 _HEADER = struct.Struct("<4sHHBB")  # magic, w, h, channels, quant_step
 
 JPEG_QUANT_STEP = 4  # max abs error 2 → PSNR >= 20*log10(255/2) ≈ 42.1 dB
 
 
-def encode_image(arr: np.ndarray, fmt: str) -> bytes:
-    """arr: uint8 (h, w, 3). fmt: 'png' (lossless) | 'jpeg' (lossy)."""
+def encode_image(arr: np.ndarray, fmt: str, codec: str = "standin") -> bytes:
+    """arr: uint8 (h, w, 3). fmt: 'png' (lossless) | 'jpeg' (lossy).
+
+    codec='standin' (default) uses the deterministic container — the
+    driver oracles depend on its closed-form quantizer, so it stays the
+    default even when PIL is importable. codec='pil' emits real
+    PNG/JPEG bytes (requires Pillow)."""
     if arr.dtype != np.uint8 or arr.ndim != 3:
         raise ValueError("expected uint8 (h, w, c) array")
+    if codec == "pil":
+        if not HAS_PIL:
+            raise RuntimeError("codec='pil' requires Pillow")
+        buf = io.BytesIO()
+        img = _PILImage.fromarray(arr, mode="RGB")
+        if fmt == "png":
+            img.save(buf, format="PNG")
+        elif fmt == "jpeg":
+            img.save(buf, format="JPEG", quality=95, subsampling=0)
+        else:
+            raise NotImplementedError(f"unsupported fmt {fmt!r}")
+        return buf.getvalue()
     h, w, c = arr.shape
     if fmt == "png":
         header = _HEADER.pack(MAGIC_LOSSLESS, w, h, c, 0)
@@ -50,11 +78,19 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """bytes -> uint8 (h, w, c) array."""
+    """bytes -> uint8 (h, w, c) array. Auto-detects the container: the
+    deterministic stand-in (FPN1/FJP1) decodes dependency-free; real
+    PNG/JPEG bytes decode via PIL when importable — drop-in for corpora
+    of real images outside the sandbox."""
     if len(data) < _HEADER.size:
         raise ValueError("truncated image container")
     magic, w, h, c, q = _HEADER.unpack(data[: _HEADER.size])
     if magic not in (MAGIC_LOSSLESS, MAGIC_LOSSY):
+        if data[:4] == _PNG_MAGIC or data[:2] == _JPEG_MAGIC:
+            if not HAS_PIL:
+                raise RuntimeError("real PNG/JPEG bytes need Pillow to decode")
+            img = _PILImage.open(io.BytesIO(data)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
         raise ValueError("unknown image container magic")
     raw = np.frombuffer(zlib.decompress(data[_HEADER.size :]), dtype=np.uint8)
     arr = raw.reshape(h, w, c)
@@ -68,6 +104,11 @@ def decode_image(data: bytes) -> np.ndarray:
 def image_meta(data: bytes) -> tuple[int, int, int, bool]:
     """(w, h, channels, lossless) from the header without full decode."""
     magic, w, h, c, _ = _HEADER.unpack(data[: _HEADER.size])
+    if magic not in (MAGIC_LOSSLESS, MAGIC_LOSSY):
+        if (data[:4] == _PNG_MAGIC or data[:2] == _JPEG_MAGIC) and HAS_PIL:
+            img = _PILImage.open(io.BytesIO(data))
+            return img.width, img.height, len(img.getbands()), data[:4] == _PNG_MAGIC
+        raise ValueError("unknown image container magic")
     return w, h, c, magic == MAGIC_LOSSLESS
 
 

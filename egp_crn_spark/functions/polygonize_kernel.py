@@ -96,6 +96,47 @@ def polygonize_vertex_arrays(vertex_arrays) -> list[np.ndarray]:
     return polygonize_segments(segs)
 
 
+def assign_holes(faces: list[np.ndarray]) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Attach enclosed island rings as holes of their smallest enclosing
+    face — GEOS/shapely polygonize semantics for nested linework: an
+    island ring inside a face yields BOTH the outer face WITH the island
+    as a hole AND the island as a face of its own.
+
+    Nesting test: rings of the same connected component tile (they share
+    nodes), so ring i is a hole candidate of ring j only when their node
+    sets are DISJOINT and a vertex of i lies inside j. Exact for noded
+    planar subdivisions; a vertex of a disconnected island cannot lie on
+    j's boundary (it would be a shared node).
+    """
+    from .geomkernel import points_in_polygon
+
+    keys = [
+        {(round(float(x), ROUND), round(float(y), ROUND)) for x, y in f}
+        for f in faces
+    ]
+    areas = []
+    for f in faces:
+        x, y = f[:, 0], f[:, 1]
+        areas.append(abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0)
+    holes: list[list[np.ndarray]] = [[] for _ in faces]
+    for i, f in enumerate(faces):
+        best = None
+        for j, g in enumerate(faces):
+            if i == j or areas[j] <= areas[i] or (keys[i] & keys[j]):
+                continue
+            if points_in_polygon(f[:1, 0], f[:1, 1], g)[0]:
+                if best is None or areas[j] < areas[best]:
+                    best = j
+        if best is not None:
+            holes[best].append(f)
+    return [(f, holes[i]) for i, f in enumerate(faces)]
+
+
+def polygonize_with_holes(segments) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """polygonize_segments + hole assignment: [(shell, [hole rings])]."""
+    return assign_holes(polygonize_segments(segments))
+
+
 def face_checksum(face: np.ndarray, decimals: int = 5) -> str:
     """Rotation- and direction-insensitive checksum of a face ring (for
     cross-tile dedup of border faces)."""

@@ -146,14 +146,37 @@ def dedup_minhash_lsh(
 
 
 # ---------------------------------------------------------------- n-gram Jaccard (exact)
+def hot_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3, max_df: int = 1000) -> DataFrame:
+    """(shingle, df) for shingles whose document frequency exceeds
+    ``max_df`` — the report side of the ngram_jaccard_pairs cap (the
+    engine's no-silent-caps convention: what got dropped is queryable)."""
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s")
+    )
+    return ex.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+                        k: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """EXACT all-pairs Jaccard >= threshold via shingle explode-join:
-    pairs sharing no shingle never meet (the relational prefilter)."""
+    pairs sharing no shingle never meet (the relational prefilter).
+
+    ``max_df`` caps shingle document frequency (the skew guard the LSH
+    paths have): a shingle in d docs emits O(d²) candidate rows, so
+    boilerplate corpora make the co-group quadratic without it. With the
+    cap, Jaccard is computed over the KEPT-shingle universe on both the
+    intersection AND the per-doc sizes — exact for that universe, biased
+    only by the dropped boilerplate (use hot_shingles() to audit drops).
+    """
     df = _ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s")
     )
+    if max_df is not None:
+        dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_df).select("s"), "s", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("a_id"), "s")
     b = sh.select(F.col(id_col).alias("b_id"), "s")
@@ -175,20 +198,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 # ---------------------------------------------------------------- simhash
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, use_md5: bool = False) -> Column:
     """64-bit SimHash over whitespace tokens — pure Column: per-token
-    xxhash64 bits vote ±1 per position; sign → bit. Bit positions are
-    unrolled statically (shift amounts must be Python ints)."""
+    hash bits vote ±1 per position; sign → bit. Bit positions are
+    unrolled statically (shift amounts must be Python ints).
+
+    use_md5=True derives the per-token bits from the first 16 hex chars
+    of md5('sh|' + token) so a DuckDB oracle can reproduce the signature
+    exactly (bit b = bit (b%4) of hex nibble 16 - b//4). The md5 is
+    hoisted into a transform() so it runs ONCE per token — lambda bodies
+    get no Catalyst subexpression elimination, so inlining it in the
+    per-bit expressions would cost 64 md5 calls per token. Default
+    xxhash64 (JVM intrinsic) is the production path."""
     toks = tokens(text)
+    if use_md5:
+        toks = F.transform(toks, lambda t: F.md5(F.concat(F.lit("sh|"), t)))
+
+    def bit(t: Column, b: int) -> Column:
+        if use_md5:
+            nibble = F.conv(F.substring(t, 16 - b // 4, 1), 16, 10).cast("int")
+            return F.shiftright(nibble, b % 4).bitwiseAND(F.lit(1))
+        return F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))
+
     votes = F.aggregate(
         toks,
         F.array(*[F.lit(0)] * 64).cast("array<int>"),
         lambda acc, t: F.zip_with(
             acc,
             F.array(*[
-                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                for b in range(64)
+                F.when(bit(t, b) == 1, 1).otherwise(-1) for b in range(64)
             ]),
             lambda a, v: a + v,
         ),
@@ -207,18 +245,32 @@ def simhash64(text: Column) -> Column:
 
 
 def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, max_bucket: int = 1000) -> DataFrame:
+                  max_hamming: int = 3, max_bucket: int = 1000,
+                  use_md5: bool = False) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
-    via 4x16-bit band buckets (guarantees recall for hamming <= 3);
-    verification via bit_count(xor)."""
-    sig = _ensure_parallelism(df).select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    via (max_hamming + 1) bit-band buckets — pigeonhole: any pair within
+    max_hamming leaves >= 1 band untouched, so candidate recall is
+    GUARANTEED for the requested threshold (not just <= 3 as the old
+    fixed 4x16 banding did). Verification via bit_count(xor).
+
+    Caveat: more bands = narrower buckets = more collisions; beyond
+    max_hamming ~ 7 the 64/(h+1)-bit buckets become dense and the
+    bucket-size cap (skew guard) starts dropping genuine clusters — keep
+    thresholds small, as near-dup simhash use does."""
+    n_bands = max(max_hamming + 1, 2)
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    sig = _ensure_parallelism(df).select(
+        F.col(id_col), simhash64(F.col(text_col), use_md5=use_md5).alias("sh"))
     banded = sig.select(
         id_col, "sh",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"),
-                         F.shiftright("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
-                for b in range(4)
+                         F.shiftright("sh", offsets[b])
+                         .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("bucket"))
+                for b in range(n_bands)
             ])
         ).alias("bb"),
     ).select(id_col, "sh", "bb.band", "bb.bucket")

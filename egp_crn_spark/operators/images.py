@@ -115,13 +115,17 @@ def tile_roundtrip_report(images: DataFrame, tile_res: int = 4,
         worst = float("inf")
         for data, fmt, caption in zip(pdf["bytes"], pdf["fmt"], pdf["caption"]):
             arr = decode_image(bytes(data))
+            # (1) own-format roundtrip: exact for lossless, PSNR-gated lossy
             rt = decode_image(encode_image(arr, str(fmt)))
-            score = psnr(arr, rt)
-            worst = min(worst, score)
-            ok = (rt == arr).all() if fmt == "png" else score >= min_psnr
+            ok = (rt == arr).all() if fmt == "png" else psnr(arr, rt) >= min_psnr
             ok = ok and isinstance(caption, str)  # caption carried exactly
             n_ok += int(ok)
             n_fail += int(not ok)
+            # (2) lossy re-encode distortion of the decoded pixels — the
+            # cost of JPEG-ifying this tile (finite for lossless sources;
+            # inf where lossy re-encode is idempotent, as with the
+            # stand-in quantizer, so it never drags the minimum down)
+            worst = min(worst, psnr(arr, decode_image(encode_image(arr, "jpeg"))))
         return pd.DataFrame(
             {"tile": [int(pdf["tile"].iloc[0])], "n_images": [len(pdf)],
              "n_ok": [n_ok], "n_fail": [n_fail],

@@ -41,7 +41,12 @@ from ..functions import geomkernel as GK
 from ..functions.polygonize_kernel import face_checksum, polygonize_vertex_arrays
 from . import nodes as N
 
-FACE_SCHEMA = "face_id string, tile long, vertices array<array<double>>, area double"
+# holes: one FLATTENED ring per element ([x0, y0, x1, y1, ...]) — a
+# triple-nested array<array<array<double>>> would be the natural type,
+# but pyarrow segfaults converting all-empty triple-nested columns
+# (toPandas of a faces table with no holes), so rings flatten to pairs.
+FACE_SCHEMA = ("face_id string, tile long, vertices array<array<double>>, "
+               "holes array<array<double>>, area double")
 
 
 def meshblock_input(arcs: DataFrame, id_col: str = "segment_id",
@@ -81,6 +86,8 @@ def polygonize_tiled(
     )
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.polygonize_kernel import assign_holes
+
         tile = key[0]
         # decode this tile's bounds from its Morton id via the cell of one
         # contained arc vertex is unnecessary: recompute from key
@@ -91,21 +98,24 @@ def polygonize_tiled(
             ix |= ((morton >> (2 * b)) & 1) << b
             iy |= ((morton >> (2 * b + 1)) & 1) << b
         x0, y0 = ix * size, iy * size
-        faces = polygonize_vertex_arrays(list(pdf["vertices"]))
+        faces = assign_holes(polygonize_vertex_arrays(list(pdf["vertices"])))
         rows = []
-        for f in faces:
-            # ownership: canonical vertex must lie in THIS tile
+        for f, holes in faces:
+            # ownership: canonical shell vertex must lie in THIS tile
             ci = min(range(len(f)), key=lambda k: (f[k, 0], f[k, 1]))
             cx, cy = f[ci]
             if not (x0 <= cx < x0 + size and y0 <= cy < y0 + size):
                 continue
             x, yv = f[:, 0], f[:, 1]
             area = abs(np.dot(x, np.roll(yv, -1)) - np.dot(yv, np.roll(x, -1))) / 2.0
+            area -= sum(GK.polygon_area(h) for h in holes)  # shapely parity
             rows.append(
                 {"face_id": face_checksum(f), "tile": tile,
-                 "vertices": [[float(a), float(b)] for a, b in f], "area": float(area)}
+                 "vertices": [[float(a), float(b)] for a, b in f],
+                 "holes": [[float(c) for c in h.ravel()] for h in holes],
+                 "area": float(area)}
             )
-        return pd.DataFrame(rows, columns=["face_id", "tile", "vertices", "area"])
+        return pd.DataFrame(rows, columns=["face_id", "tile", "vertices", "holes", "area"])
 
     faces = tiled.groupBy("tile").applyInPandas(per_tile, schema=FACE_SCHEMA)
     # belt-and-braces: face-checksum dedup across tiles
@@ -190,59 +200,88 @@ def validate_meshblock(arcs: DataFrame, restore: DataFrame,
 
 def mb_v201_deadend_within(arcs: DataFrame, faces: DataFrame,
                            id_col: str = "segment_id",
-                           vertices: str = "vertices") -> DataFrame:
+                           vertices: str = "vertices",
+                           res: int = 6) -> DataFrame:
     """Deadend arcs must be within exactly ONE face
-    (validate_meshblock.py:368-392). within = every vertex and segment
-    midpoint of the arc inside-or-on the face ring."""
+    (validate_meshblock.py:368-392).
+
+    Distributed plan (replaces the round-1 collect-all-faces + Python
+    loop, which was a driver OOM + O(arcs×faces) kernel at national
+    scale): faces polyfill to Morton cover cells at ``res`` (bbox
+    superset, same prefilter as point_in_polygon_join); each deadend arc
+    carries ONE cell — the cell of its first vertex. Lossless: if the arc
+    is within a face, its first vertex is inside it, so the face's cover
+    necessarily includes that cell. Candidate (arc, face) pairs refine
+    with the exact hole-aware polyline-within kernel (vertex+midpoint
+    samples PLUS proper segment-crossing — exact for concave faces where
+    sampling alone can miss an exit-and-reenter)."""
+    from .spatial_join import polygon_cover_cells
+
     dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
     dead = arcs.join(dead_ids, id_col, "left_semi").select(id_col, vertices)
 
-    faces_local = [
-        (r["face_id"], np.asarray([list(p) for p in r["vertices"]], dtype=np.float64))
-        for r in faces.select("face_id", "vertices").toLocalIterator()
-    ]
-    bc = arcs.sparkSession.sparkContext.broadcast(faces_local)
+    has_holes = "holes" in faces.columns
+    holes_col = (F.col("holes") if has_holes
+                 else F.array().cast("array<array<double>>"))
+    fsel = faces.select(
+        F.xxhash64("face_id").alias("poly_id"),
+        F.col("vertices").alias("_fverts"),
+        holes_col.alias("_fholes"),
+    )
+    cover = polygon_cover_cells(
+        fsel.select("poly_id", F.col("_fverts").alias("vertices")), res, convex=False
+    ).select("poly_id", "_cell")
 
-    def check(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fl = bc.value
-        boxes = [
-            (f[:, 0].min(), f[:, 1].min(), f[:, 0].max(), f[:, 1].max()) for _, f in fl
-        ]
+    first = F.element_at(F.col(vertices), 1)
+    cand = (
+        dead.withColumn(
+            "_cell",
+            C.cell_of_xy(F.element_at(first, 1), F.element_at(first, 2), res),
+        )
+        .join(cover, "_cell")
+        .join(fsel, "poly_id")
+        .select(id_col, vertices, "poly_id", "_fverts", "_fholes")
+    )
+
+    def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_ids, out_n = [], []
-            for sid, vs in zip(pdf[id_col], pdf[vertices]):
-                a = np.asarray([list(p) for p in vs], dtype=np.float64)
-                mids = (a[1:] + a[:-1]) / 2.0
-                pts = np.vstack([a, mids])
-                n_within = 0
-                for (fid, fv), (x0, y0, x1, y1) in zip(fl, boxes):
-                    if pts[:, 0].min() < x0 or pts[:, 0].max() > x1:
-                        continue
-                    if pts[:, 1].min() < y0 or pts[:, 1].max() > y1:
-                        continue
-                    inside = GK.points_in_polygon(pts[:, 0], pts[:, 1], fv)
-                    if inside.all():
-                        n_within += 1
-                out_ids.append(sid)
-                out_n.append(n_within)
-            yield pd.DataFrame({id_col: out_ids, "n_within": out_n})
+            ids, pids = [], []
+            for sid, vs, pid, fv, fh in zip(
+                pdf[id_col], pdf[vertices], pdf["poly_id"],
+                pdf["_fverts"], pdf["_fholes"],
+            ):
+                line = np.asarray([list(p) for p in vs], dtype=np.float64)
+                shell = np.asarray([list(p) for p in fv], dtype=np.float64)
+                holes = [np.asarray(list(h), dtype=np.float64).reshape(-1, 2)
+                         for h in fh]
+                if GK.polyline_within_polygon(line, shell, holes):
+                    ids.append(sid)
+                    pids.append(int(pid))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "poly_id": pids})
 
-    res = dead.mapInPandas(check, schema=f"{id_col} string, n_within int")
-    return res.filter("n_within != 1").select(F.col(id_col).alias("flagged_id"))
+    within = cand.mapInPandas(refine, schema=f"{id_col} string, poly_id long")
+    counts = within.groupBy(id_col).agg(F.count_distinct("poly_id").alias("n_within"))
+    return (
+        dead.select(id_col)
+        .join(counts, id_col, "left")
+        .fillna({"n_within": 0})
+        .filter("n_within != 1")
+        .select(F.col(id_col).alias("flagged_id"))
+    )
 
 
 def mb_v202_bo_on_boundary(arcs: DataFrame, faces: DataFrame,
                            id_col: str = "segment_id",
                            vertices: str = "vertices") -> DataFrame:
-    """Non-deadend BO arcs (bo_new != 1) must lie on face boundaries
-    (validate_meshblock.py:394-421). Arcs and faces share NODED segments,
-    so covered_by(face boundaries) ⇔ every arc segment key appears among
+    """BO arcs (segment_type == 2, bo_new != 1) must lie on face boundaries
+    (validate_meshblock.py:394-421) — ALL such arcs, including deadends
+    (the reference applies covered_by to the full BO set; a dangling
+    deadend BO floating inside a face is invalid here even though it
+    passes v201). Arcs and faces share NODED segments, so
+    covered_by(face boundaries) ⇔ every arc segment key appears among
     face-ring segment keys — one distinct + anti-join, no geometry UDF."""
-    dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
-    bos = (
-        arcs.filter((F.col("segment_type") == 2) & (F.col("bo_new") != 1))
-        .join(dead_ids, id_col, "left_anti")
-    )
+    bos = arcs.filter((F.col("segment_type") == 2) & (F.col("bo_new") != 1))
 
     def seg_keys(df, idc, vcol):
         segs = df.select(

@@ -49,10 +49,15 @@ def brute_force_topk(
 
 
 def train_centroids(corpus: DataFrame, ncells: int, vec_col: str = "embedding",
-                    sample: int = 4096, iters: int = 5, seed: int = 7) -> np.ndarray:
-    """k-means on a seeded driver-side sample (classic IVF training)."""
+                    sample: int = 4096, iters: int = 5, seed: int = 7,
+                    id_col: str = "vec_id") -> np.ndarray:
+    """k-means on a seeded driver-side sample (classic IVF training).
+    The sample is orderBy(id_col).limit(sample) — a bare limit() takes
+    whichever partitions answer first, which would make the centroids
+    (and every downstream ANN result) run-order dependent."""
     pdf = (
-        corpus.select(_as_double(vec_col).alias("v"))
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
         .limit(sample)
         .toPandas()
     )
@@ -101,7 +106,8 @@ def ivf_topk(
     """IVF-style approximate top-k: corpus bucketed by nearest centroid,
     queries probe their nprobe nearest cells — the candidate join is a
     cell equi-join (same shape as the spatial prefilter)."""
-    C = centroids if centroids is not None else train_centroids(corpus, ncells, vec_col)
+    C = centroids if centroids is not None else train_centroids(
+        corpus, ncells, vec_col, id_col=id_col)
     cvec = _as_double(vec_col)
     bucketed = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("n_id"),

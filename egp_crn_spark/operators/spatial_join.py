@@ -191,7 +191,11 @@ def polygon_cover_cells(polys: DataFrame, res: int, convex: bool = False) -> Dat
     )
 
 
-def pip_refine_udf(spark, polys: DataFrame):
+MAX_BROADCAST_POLYS = 200_000  # dimension-sized contract for pip_refine_udf
+
+
+def pip_refine_udf(spark, polys: DataFrame,
+                   max_polys: int = MAX_BROADCAST_POLYS):
     """Scalar pandas UDF (x, y, poly_id) -> bool doing exact PIP against a
     broadcast of the polygon vertex arrays.
 
@@ -199,7 +203,19 @@ def pip_refine_udf(spark, polys: DataFrame):
     boolean out per candidate row — never the full row. (The first
     mapInPandas design round-tripped whole candidate rows and the Arrow
     exchange of the id strings alone cost more than the geometry.)
+
+    CONTRACT: ``polys`` is dimension-sized (it is collected + broadcast).
+    The bound is ENFORCED, not assumed — a fact-sized polygon set raises
+    instead of silently OOMing the driver; shard such sets (e.g. per
+    tile via groupBy().applyInPandas) before refining.
     """
+    probe = polys.select("poly_id").limit(max_polys + 1).count()
+    if probe > max_polys:
+        raise ValueError(
+            f"pip_refine_udf broadcasts the polygon set, but it exceeds "
+            f"max_polys={max_polys}; shard the polygons (per-tile "
+            f"applyInPandas) or raise the bound explicitly"
+        )
     polys_local = {
         int(r["poly_id"]): np.asarray([list(p) for p in r["vertices"]], dtype=np.float64)
         for r in polys.select("poly_id", "vertices").toLocalIterator()

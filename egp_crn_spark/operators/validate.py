@@ -204,11 +204,15 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
         "node", F.col(id_col).alias("near_id")
     ).distinct()
     connected = src_end_nodes.join(allv, "node").select("src_id", "near_id").distinct()
+    # per-arc SET subtraction (validate_topology.py:219-221): an arc with
+    # BOTH endpoints deadends near the same arc yields the pair twice in
+    # hits but once in connected — a multiset exceptAll would leak one
+    # occurrence, so distinct first, then anti-join.
     disconnected = (
         hits.select("src_id", "near_id")
         .filter(F.col("src_id") != F.col("near_id"))
-        .exceptAll(connected)
         .distinct()
+        .join(connected, ["src_id", "near_id"], "left_anti")
     )
     return (
         disconnected.select(F.col("src_id").alias("flagged_id"))

@@ -70,9 +70,11 @@ def test_deadend_and_bo_validations(spark, grid_net):
     # dead-end v-arcs? none: grid arcs all share endpoints.
     assert v201 == {"dead2"}
     v202 = set(MB.mb_v202_bo_on_boundary(grid_net, faces).toPandas().flagged_id)
-    # bo_wall lies on a face ring; bo_float is a deadend (excluded);
+    # bo_wall lies on a face ring → OK; bo_float is a dangling BO inside a
+    # face — the reference checks ALL BO arcs incl. deadends → flagged
+    # (validate_meshblock.py:394-421).
     assert "bo_wall" not in v202
-    assert v202 == set()
+    assert v202 == {"bo_float"}
 
 
 def test_linkage(spark, grid_net):
@@ -133,3 +135,25 @@ def test_validate_meshblock_composed(spark, grid_net):
     assert prog["Invalid (Missing BO)"] == 0
     assert prog["Excluded"] >= 2  # deadend arcs excluded from meshblock input
     assert prog["Valid"] + prog["Invalid"] + prog["Excluded"] == grid_net.count()
+
+
+def test_v201_island_hole_awareness(spark):
+    """An island ring inside a face becomes a hole: a deadend in the
+    island is within exactly ONE face (the island), a deadend in the
+    annulus is within the outer face only, and a deadend crossing the
+    island ring is within neither (flagged)."""
+    def ring(prefix, x0, y0, s):
+        c = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+        return [_arc(f"{prefix}{i}", [c[i], c[(i + 1) % 4]]) for i in range(4)]
+
+    rows = ring("outer", 4000.0, 4000.0, 1000.0) + ring("isle", 4400.0, 4400.0, 200.0)
+    rows.append(_arc("d_annulus", [(4100.0, 4100.0), (4200.0, 4150.0)]))
+    rows.append(_arc("d_island", [(4450.0, 4450.0), (4520.0, 4500.0)]))
+    rows.append(_arc("d_cross", [(4350.0, 4450.0), (4450.0, 4450.0)]))
+    net = spark.createDataFrame(pd.DataFrame(rows))
+    faces = MB.polygonize_meshblock(net, tile_res=4)
+    fpd = faces.toPandas()
+    assert sorted(fpd.area) == [200.0 * 200.0, 1000.0 * 1000.0 - 200.0 * 200.0]
+    assert sorted(len(h) for h in fpd.holes) == [0, 1]
+    flagged = set(MB.mb_v201_deadend_within(net, faces).toPandas().flagged_id)
+    assert flagged == {"d_cross"}

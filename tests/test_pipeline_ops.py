@@ -250,3 +250,84 @@ def test_salted_aggregate_matches_plain(spark):
     want = df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")) \
         .toPandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_md5_matches_xxhash_structure(spark):
+    """Oracle-mode (md5) simhash finds the same near-dup pair structure and
+    respects the generalized pigeonhole banding (bands = max_hamming + 1)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " extra", "totally different words entirely unrelated"],
+    }))
+    got = DD.dedup_simhash(df, max_hamming=10, use_md5=True).toPandas()
+    pairs = set(zip(got.a_id, got.b_id))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert (got.hamming <= 10).all()
+
+
+def test_simhash_banding_recall_exhaustive(spark):
+    """Every pair within max_hamming MUST be produced (pigeonhole bands).
+    Brute-force check against all-pairs hamming on the real signatures."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta",
+        "alpha beta gamma delta theta zeta", "iota kappa lambda mu nu xi",
+        "iota kappa lambda mu nu omicron", "pi rho sigma tau upsilon phi",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    sig = df.select("doc_id", DD.simhash64(F.col("text")).alias("sh")).toPandas()
+    sh = dict(zip(sig.doc_id, sig.sh))
+    for h in (2, 5, 9):
+        want = {
+            (a, b)
+            for a in sh for b in sh if a < b
+            and bin((int(sh[a]) ^ int(sh[b])) & ((1 << 64) - 1)).count("1") <= h
+        }
+        got = DD.dedup_simhash(df, max_hamming=h).toPandas()
+        assert set(zip(got.a_id, got.b_id)) == want
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc explodes candidates; the
+    max_df cap bounds them and hot_shingles reports what was dropped."""
+    boiler = "terms of service apply to all"
+    docs = {i: f"{boiler} document number {i} unique body {i * 7}" for i in range(12)}
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    # uncapped: the boilerplate shingles pair everything
+    full = DD.ngram_jaccard_pairs(df, threshold=0.05).toPandas()
+    assert len(full) == 12 * 11 / 2
+    # capped: shingles in >3 docs are dropped → only the (0..9 vs 10,11)-ish
+    # residual shared shingles can pair docs; candidate count is bounded
+    capped = DD.ngram_jaccard_pairs(df, threshold=0.05, max_df=3).toPandas()
+    assert len(capped) < len(full)
+    hot = DD.hot_shingles(df, max_df=3).toPandas()
+    assert len(hot) > 0 and (hot["df"] > 3).all()
+
+
+def test_v302_double_deadend_set_subtraction(spark):
+    """An arc with BOTH endpoints deadends near the same unconnected arc
+    must not leak through the connected-subtraction (per-arc SET, not
+    multiset — validate_topology.py:219-221)."""
+    from egp_crn_spark.operators import validate as V
+
+    rows = [
+        # isolated short stub: both endpoints deadends, both within 5 of road
+        {"segment_id": "stub", "vertices": [[100.0, 102.0], [103.0, 102.0]]},
+        # road below, not sharing any node with stub
+        {"segment_id": "road", "vertices": [[90.0, 100.0], [120.0, 100.0]]},
+        # connected pair: stub2 lies along road2, one endpoint coinciding
+        # with road2's INTERIOR vertex (so both stub2 endpoints are
+        # deadends, both within 5 of road2 → the pair enters hits TWICE,
+        # but connected-subtraction holds it once)
+        {"segment_id": "stub2", "vertices": [[206.0, 100.0], [210.0, 100.0]]},
+        {"segment_id": "road2", "vertices": [[200.0, 100.0], [210.0, 100.0], [210.0, 110.0]]},
+    ]
+    arcs = spark.createDataFrame(pd.DataFrame(rows))
+    got = set(V.v302_min_distance(arcs).toPandas().flagged_id)
+    # stub/road: unconnected, within 5 → both flagged.
+    # stub2/road2: connected via the shared (210, 100) node → NOT flagged
+    # even though the (stub2, road2) pair arises twice (once per deadend
+    # endpoint) and connected holds it only once.
+    assert got == {"stub", "road"}

@@ -67,3 +67,54 @@ def test_polylines_input_and_checksum():
 
 def test_open_lines_no_face():
     assert polygonize_vertex_arrays([[[0, 0], [1, 0], [2, 0]]]) == []
+
+
+def test_assign_holes_island():
+    from egp_crn_spark.functions.polygonize_kernel import polygonize_with_holes
+
+    def ring_segs(x0, y0, s):
+        c = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+        return [(c[i], c[(i + 1) % 4]) for i in range(4)]
+
+    segs = ring_segs(0, 0, 100) + ring_segs(40, 40, 20)  # island inside
+    faces = polygonize_with_holes(segs)
+    by_area = sorted(faces, key=lambda fh: -len(fh[0]))
+    areas = sorted(
+        abs(np.dot(f[:, 0], np.roll(f[:, 1], -1)) - np.dot(f[:, 1], np.roll(f[:, 0], -1))) / 2
+        for f, _ in faces
+    )
+    assert areas == [400.0, 10000.0]
+    outer = max(faces, key=lambda fh: len(fh[1]))
+    assert len(outer[1]) == 1  # island attached as hole of the outer face
+    inner = min(faces, key=lambda fh: len(fh[1]))
+    assert len(inner[1]) == 0  # island face itself is hole-free
+
+
+def test_adjacent_faces_not_nested():
+    from egp_crn_spark.functions.polygonize_kernel import polygonize_with_holes
+
+    # two cells sharing a wall: tiling, NOT nesting (shared nodes)
+    segs = [((0, 0), (1, 0)), ((1, 0), (2, 0)), ((2, 0), (2, 1)), ((2, 1), (1, 1)),
+            ((1, 1), (0, 1)), ((0, 1), (0, 0)), ((1, 0), (1, 1))]
+    faces = polygonize_with_holes(segs)
+    assert len(faces) == 2
+    assert all(len(h) == 0 for _, h in faces)
+
+
+def test_polyline_within_polygon_concave_exactness():
+    from egp_crn_spark.functions import geomkernel as GK
+
+    # U-shaped face with a narrow notch x in [140, 160], y in [100, 300]
+    shell = np.array([(0, 0), (300, 0), (300, 300), (160, 300), (160, 100),
+                      (140, 100), (140, 300), (0, 300)], dtype=np.float64)
+    # all samples (vertices + midpoint) inside, but the segment exits
+    # through the notch — only the proper-crossing test catches it
+    line = np.array([(100, 200), (280, 200)], dtype=np.float64)
+    assert not GK.polyline_within_polygon(line, shell)
+    # fully inside the bottom bar
+    assert GK.polyline_within_polygon(
+        np.array([(50, 50), (250, 50)], dtype=np.float64), shell)
+    # hole exclusion
+    hole = np.array([(40, 20), (60, 20), (60, 40), (40, 40)], dtype=np.float64)
+    assert not GK.polyline_within_polygon(
+        np.array([(45, 25), (55, 35)], dtype=np.float64), shell, [hole])
