@@ -756,6 +756,96 @@ SQL_IMAGE_FEATURES = f"""
 """
 
 
+def q_image_resize(spark, sf_dir):
+    """Nearest-neighbour resize to 4x4, reported as per-image mean of the
+    resized pixels — the resize op is closed-form (source index
+    i*h//4), so DuckDB recomputes it exactly."""
+    resized = IM.resize_images(_derived_images(spark, sf_dir), out_h=4, out_w=4)
+    meta = IM.decode_meta(resized)
+    return meta.select("image_id", F.col("w"), F.col("h"),
+                       F.col("mean_px").alias("resized_mean"))
+
+
+SQL_IMAGE_RESIZE = f"""
+  with {_DECODED_PX_SQL},
+  -- nearest-neighbour source indices for a 4x4 output
+  oi as (select image_id, doc_id, w, h, lossless, unnest(range(0, 4)) as i4 from imgs),
+  oj as (select oi.*, unnest(range(0, 4)) as j4 from oi),
+  oc as (select oj.*, unnest(range(0, 3)) as c from oj),
+  src as (select image_id, w, h, lossless, doc_id,
+                 least((i4 * h) // 4, h - 1) as i, least((j4 * w) // 4, w - 1) as j, c
+          from oc),
+  v as (select image_id,
+               (doc_id * 31 + i * 7 + j * 13 + c * 29) % 256 as v0, lossless
+        from src),
+  -- the resize re-encodes as png (lossless), so the decoded resized
+  -- pixel equals the decoded SOURCE pixel (quantized iff source jpeg)
+  d as (select image_id,
+               case when lossless then v0 else (v0 // 4) * 4 + 2 end as d from v)
+  select image_id, cast(4 as int) as w, cast(4 as int) as h,
+         avg(cast(d as double)) as resized_mean
+  from d group by image_id
+"""
+
+
+_FS_EVERY = 3
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling (pure Column): synthetic frame table
+    (video_id = key/16, frame_idx = key%16), keep every 3rd frame."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4096)
+    frames = o.select(
+        F.expr("o_orderkey div 16").alias("video_id"),
+        (F.col("o_orderkey") % 16).alias("frame_idx"),
+    )
+    kept = IM.frame_sample(frames, every=_FS_EVERY)
+    return kept.groupBy("video_id").agg(F.count("*").alias("n_kept"))
+
+
+SQL_FRAME_SAMPLE = f"""
+  select o_orderkey // 16 as video_id, count(*) as n_kept
+  from orders
+  where o_orderkey < 4096 and (o_orderkey % 16) % {_FS_EVERY} = 0
+  group by 1
+"""
+
+
+# ---------------------------------------------------------------- streaming
+def q_stream_window_counts(spark, sf_dir):
+    """STRUCTURED STREAMING execution with a full batch oracle: events
+    replay through a file-source stream into the watermarked windowed
+    aggregation (streaming/__init__.py), memory sink collects the
+    complete-mode result — which must equal the batch SQL aggregation
+    (the module's stream == batch design contract, now driver-checked)."""
+    import tempfile
+    import uuid
+
+    from .streaming import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="egp_stream_events_")
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    name = "sw_" + uuid.uuid4().hex[:8]
+    q = (windowed_event_counts(stream).writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start"),
+        "event_type", "n", "total_value",
+    )
+
+
+SQL_STREAM_WINDOW_COUNTS = """
+  select cast(floor(epoch(ts) / 300) as bigint) * 300 as win_start, event_type,
+         count(*) as n,
+         cast(sum(cast(value as decimal(28,6))) as double) as total_value
+  from events group by 1, 2
+"""
+
+
 QUERIES2 = {
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -775,4 +865,7 @@ QUERIES2 = {
     "image_decode_meta": (q_image_decode_meta, SQL_IMAGE_DECODE_META),
     "image_tile_roundtrip": (q_image_tile_roundtrip, SQL_IMAGE_TILE_ROUNDTRIP),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
 }

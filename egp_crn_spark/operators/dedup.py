@@ -205,20 +205,24 @@ def simhash64(text: Column, use_md5: bool = False) -> Column:
 
     use_md5=True derives the per-token bits from the first 16 hex chars
     of md5('sh|' + token) so a DuckDB oracle can reproduce the signature
-    exactly (bit b = bit (b%4) of hex nibble 16 - b//4). The md5 is
-    hoisted into a transform() so it runs ONCE per token — lambda bodies
-    get no Catalyst subexpression elimination, so inlining it in the
-    per-bit expressions would cost 64 md5 calls per token. Default
-    xxhash64 (JVM intrinsic) is the production path."""
+    exactly (bit b = bit (b%4) of hex nibble 16 - b//4). Default
+    xxhash64 (JVM intrinsic) is the production path.
+
+    Either way the token hash is hoisted into a transform() so it runs
+    ONCE per token — lambda bodies get no Catalyst subexpression
+    elimination, so inlining it in the per-bit expressions would cost
+    64 hash evaluations per token."""
     toks = tokens(text)
     if use_md5:
         toks = F.transform(toks, lambda t: F.md5(F.concat(F.lit("sh|"), t)))
+    else:
+        toks = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit(t: Column, b: int) -> Column:
         if use_md5:
             nibble = F.conv(F.substring(t, 16 - b // 4, 1), 16, 10).cast("int")
             return F.shiftright(nibble, b % 4).bitwiseAND(F.lit(1))
-        return F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))
+        return F.shiftright(t, b).bitwiseAND(F.lit(1))
 
     votes = F.aggregate(
         toks,
@@ -244,6 +248,55 @@ def simhash64(text: Column, use_md5: bool = False) -> Column:
     return out
 
 
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       use_md5: bool = False) -> DataFrame:
+    """(id, sh): SimHash via EXPLODE + 64 flat vote sums.
+
+    Same shape as minhash_signatures and for the same reason: the
+    aggregate/zip_with formulation of simhash64() builds a giant nested
+    higher-order expression that falls out of whole-stage codegen and
+    evaluates interpreted (~10x slower at corpus scale). Exploding
+    tokens to rows makes the hash one flat projection and the votes 64
+    codegen-friendly sums; the groupBy(id) is one shuffle on the id.
+    Documents with zero tokens yield no signature (they cannot be
+    near-dups)."""
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    if use_md5:
+        # parse the 64-bit value as four 16-bit chunks (4 conv() calls
+        # per token instead of 64 single-nibble parses); chunk c holds
+        # global bits [48 - 16c, 63 - 16c]
+        h = F.md5(F.concat(F.lit("sh|"), F.col("_t")))
+        ex = ex.withColumn("_h", h).select(
+            "*", *[F.conv(F.substring(F.col("_h"), 1 + 4 * c, 4), 16, 10)
+                   .cast("long").alias(f"_c{c}") for c in range(4)]
+        )
+
+        def bit(b: int) -> Column:
+            return F.shiftright(F.col(f"_c{3 - b // 16}"), b % 16).bitwiseAND(F.lit(1))
+    else:
+        ex = ex.withColumn("_h", F.xxhash64(F.col("_t")))
+
+        def bit(b: int) -> Column:
+            return F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))
+
+    votes = ex.select(
+        id_col, *[F.when(bit(b) == 1, 1).otherwise(-1).alias(f"_v{b}") for b in range(64)]
+    )
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(f"_v{b}").alias(f"_s{b}") for b in range(64)]
+    )
+    terms = [
+        F.when(F.col(f"_s{b}") > 0,
+               F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return agg.select(id_col, out.alias("sh"))
+
+
 def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, max_bucket: int = 1000,
                   use_md5: bool = False) -> DataFrame:
@@ -261,8 +314,7 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sig = _ensure_parallelism(df).select(
-        F.col(id_col), simhash64(F.col(text_col), use_md5=use_md5).alias("sh"))
+    sig = simhash_signatures(_ensure_parallelism(df), text_col, id_col, use_md5=use_md5)
     banded = sig.select(
         id_col, "sh",
         F.explode(

@@ -30,8 +30,11 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
     src = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if events.isStreaming:
         src = src.withWatermark("ts", watermark)
+    # decimal-exact sum → double: value totals are order-insensitive, so
+    # stream == batch == SQL oracle bit-for-bit (float sums are not)
     return src.groupBy(F.window("ts", window), "event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("total_value")
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
     )
 
 

@@ -66,3 +66,27 @@ def test_pip_python_is_filter_only(spark):
     p = plans.physical_plan(df)
     assert "FlatMapGroupsInPandas" not in p
     assert "ArrowEvalPython" in p or "BatchEvalPython" in p
+
+
+def test_mb_v201_is_distributed(spark):
+    """mb_v201 must be a cell equi-join + Arrow-batched refine — never
+    the round-1 driver-collect of all faces. The plan shows the refine
+    MapInPandas downstream of a join keyed on the Morton cover cell."""
+    import pandas as pd
+
+    from egp_crn_spark.operators import meshblock as MB
+
+    def arc(sid, pts):
+        return {"segment_id": sid,
+                "vertices": [[float(x), float(y)] for x, y in pts]}
+
+    rows = [arc("e0", [(100, 100), (600, 100)]), arc("e1", [(600, 100), (600, 600)]),
+            arc("e2", [(600, 600), (100, 600)]), arc("e3", [(100, 600), (100, 100)]),
+            arc("dead", [(200, 200), (300, 300)])]
+    net = spark.createDataFrame(pd.DataFrame(rows))
+    faces = MB.polygonize_tiled(net.filter("segment_id != 'dead'"), tile_res=4)
+    df = MB.mb_v201_deadend_within(net, faces)
+    p = plans.physical_plan(df)
+    assert "MapInPandas" in p, "exact refine must be Arrow-batched"
+    assert re.search(r"hashpartitioning\(_cell|_cell#\d+\]", p) or "_cell" in p, \
+        "candidates must come from a cell equi-join"
