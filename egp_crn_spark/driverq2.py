@@ -811,6 +811,61 @@ SQL_FRAME_SAMPLE = f"""
 """
 
 
+# ------------------------------------------------------- embedding cosine dedup
+_EC_T, _EC_PLANES, _EC_BANDS = 0.35, 16, 4
+
+
+def _ec_planes() -> np.ndarray:
+    # the same deterministic plane matrix dedup_embedding_cosine derives
+    # (seed 1234, dim read from the table = 64) — inlined into the SQL twin
+    rng = np.random.default_rng(1234)
+    return rng.standard_normal((_EC_PLANES, _IVF_DIM))
+
+
+def q_embedding_cosine_dup(spark, sf_dir):
+    return DD.dedup_embedding_cosine(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_EC_T, num_planes=_EC_PLANES, bands=_EC_BANDS,
+    ).select("a_id", "b_id", "cosine")
+
+
+def _embedding_cosine_sql() -> str:
+    P = _ec_planes()
+    rows_per = _EC_PLANES // _EC_BANDS
+    plane_lits = [
+        f"[{', '.join(repr(float(x)) for x in P[i])}]::double[]"
+        for i in range(_EC_PLANES)
+    ]
+    bits = ", ".join(
+        f"case when list_inner_product(v, {plane_lits[i]}) > 0 then '1' else '0' end as b{i}"
+        for i in range(_EC_PLANES)
+    )
+    band_rows = " union all ".join(
+        f"select vec_id, v, {b} as band, "
+        + " || ".join(f"b{b * rows_per + r}" for r in range(rows_per))
+        + " as bucket from sig"
+        for b in range(_EC_BANDS)
+    )
+    return f"""
+      with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      sig as (select vec_id, v, {bits} from e),
+      banded as ({band_rows}),
+      sizes as (select band, bucket, count(*) as c from banded group by 1, 2),
+      ok as (select band, bucket from sizes where c <= 2000),
+      bd as (select banded.* from banded join ok using (band, bucket)),
+      pairs as (select a.vec_id as a_id, b.vec_id as b_id,
+                       any_value(a.v) as va, any_value(b.v) as vb
+                from bd a join bd b using (band, bucket)
+                where a.vec_id < b.vec_id
+                group by a.vec_id, b.vec_id)
+      select a_id, b_id, list_cosine_similarity(va, vb) as cosine
+      from pairs where list_cosine_similarity(va, vb) >= {_EC_T!r}
+    """
+
+
+SQL_EMBEDDING_COSINE_DUP = _embedding_cosine_sql()
+
+
 # ---------------------------------------------------------------- streaming
 def q_stream_window_counts(spark, sf_dir):
     """STRUCTURED STREAMING execution with a full batch oracle: events
@@ -868,4 +923,5 @@ QUERIES2 = {
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
+    "embedding_cosine_dup": (q_embedding_cosine_dup, SQL_EMBEDDING_COSINE_DUP),
 }

@@ -24,6 +24,16 @@ def _as_double(vec_col: str):
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def _norm(vec) -> "F.Column":
+    return F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                              F.lit(0.0), lambda s, v: s + v))
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda s, v: s + v)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -33,12 +43,21 @@ def brute_force_topk(
 ) -> DataFrame:
     """(q_id, n_id, rank): exact top-k by cosine (desc, id asc tie-break).
     queries: (q_id, vec). corpus: (id_col, vec_col). Exhaustive —
-    baseline only; the corpus side streams, queries broadcast."""
-    q = F.broadcast(queries.select(F.col("q_id"), F.col("qv")))
+    baseline only; the corpus side streams, queries broadcast.
+
+    Norms are precomputed per ROW, not per pair: cosine_sim() inside the
+    cross join would fold each side's norm |queries| times — hoisting
+    them cuts the per-pair work to one dot product (3x fewer flops;
+    dot / (qn * cn) keeps the exact operand order of cosine_sim, so
+    results are bit-identical)."""
+    q = F.broadcast(queries.select(
+        F.col("q_id"), F.col("qv"), _norm(F.col("qv")).alias("_qn")))
     c = _ensure_parallelism(
         corpus.select(F.col(id_col).alias("n_id"), _as_double(vec_col).alias("cv")))
+    c = c.withColumn("_cn", _norm(F.col("cv")))
     scored = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id")).select(
-        "q_id", "n_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim")
+        "q_id", "n_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -93,6 +112,52 @@ def _nearest_centroids_expr(vec, C: np.ndarray, nprobe: int):
     return F.transform(top, lambda s: s["cell"])
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF INDEX BUILD: assign each corpus vector to its nearest
+    centroid — (n_id, cv, cell, _cn). O(corpus x ncells) dot products,
+    paid ONCE; persist (or write bucketed by `cell` via
+    sources.tables.save_bucketed_table) and serve many query batches
+    from it. Norm precomputed per row (see brute_force_topk)."""
+    cvec = _as_double(vec_col)
+    return _ensure_parallelism(corpus).select(
+        F.col(id_col).alias("n_id"),
+        cvec.alias("cv"),
+        F.element_at(_nearest_centroids_expr(cvec, centroids, 1), 1).alias("cell"),
+    ).withColumn("_cn", _norm(F.col("cv")))
+
+
+def ivf_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF QUERY: probe the nprobe nearest cells per query — a cell
+    equi-join against the prebuilt index (same shape as the spatial
+    prefilter), candidates shrink ~ncells/nprobe vs brute force."""
+    probes = queries.select(
+        "q_id", F.col("qv"), _norm(F.col("qv")).alias("_qn"),
+        F.explode(_nearest_centroids_expr(F.col("qv"), centroids, nprobe)).alias("cell"),
+    )
+    # norms hoisted per row (see brute_force_topk) — bit-identical cosine
+    scored = probes.join(index, "cell").filter(F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
+    ).dropDuplicates(["q_id", "n_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sim")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -103,27 +168,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: corpus bucketed by nearest centroid,
-    queries probe their nprobe nearest cells — the candidate join is a
-    cell equi-join (same shape as the spatial prefilter)."""
+    """One-shot IVF top-k = ivf_assign + ivf_probe. For repeated query
+    batches build the index once with ivf_assign and call ivf_probe —
+    the assignment is the dominant cost and amortizes across batches."""
     C = centroids if centroids is not None else train_centroids(
         corpus, ncells, vec_col, id_col=id_col)
-    cvec = _as_double(vec_col)
-    bucketed = _ensure_parallelism(corpus).select(
-        F.col(id_col).alias("n_id"),
-        cvec.alias("cv"),
-        F.element_at(_nearest_centroids_expr(cvec, C, 1), 1).alias("cell"),
-    )
-    probes = queries.select(
-        "q_id", F.col("qv"),
-        F.explode(_nearest_centroids_expr(F.col("qv"), C, nprobe)).alias("cell"),
-    )
-    scored = probes.join(bucketed, "cell").filter(F.col("q_id") != F.col("n_id")).select(
-        "q_id", "n_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim")
-    ).dropDuplicates(["q_id", "n_id"])
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank", "sim")
-    )
+    return ivf_probe(queries, ivf_assign(corpus, C, vec_col, id_col), C, k, nprobe)
