@@ -110,23 +110,57 @@ def assign_holes(faces: list[np.ndarray]) -> list[tuple[np.ndarray, list[np.ndar
     """
     from .geomkernel import points_in_polygon
 
-    keys = [
-        {(round(float(x), ROUND), round(float(y), ROUND)) for x, y in f}
-        for f in faces
-    ]
-    areas = []
-    for f in faces:
-        x, y = f[:, 0], f[:, 1]
-        areas.append(abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0)
-    holes: list[list[np.ndarray]] = [[] for _ in faces]
+    n = len(faces)
+    if n < 2:
+        return [(f, []) for f in faces]
+    areas = np.empty(n)
+    boxes = np.empty((n, 4))
     for i, f in enumerate(faces):
+        x, y = f[:, 0], f[:, 1]
+        areas[i] = abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
+        boxes[i] = (x.min(), y.min(), x.max(), y.max())
+    # Grid-bucket prefilter (O(n) for tilings, never O(n²)): ring i can
+    # only nest in ring j if j's bbox strictly contains i's, so index
+    # median-sized faces into a uniform grid keyed by bbox cover cells
+    # and probe with i's first vertex; oversized faces (the only ones
+    # that could enclose many) are checked directly — there are few.
+    ext = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
+    cell = max(float(np.median(ext)), 1e-9)
+    large = [int(j) for j in np.where(ext > 4 * cell)[0]]
+    grid: dict[tuple[int, int], list[int]] = {}
+    for j in range(n):
+        if ext[j] > 4 * cell:
+            continue
+        gx0, gy0 = int(boxes[j, 0] // cell), int(boxes[j, 1] // cell)
+        gx1, gy1 = int(boxes[j, 2] // cell), int(boxes[j, 3] // cell)
+        for gx in range(gx0, gx1 + 1):
+            for gy in range(gy0, gy1 + 1):
+                grid.setdefault((gx, gy), []).append(j)
+
+    def node_key_set(i: int) -> set:
+        return {(round(float(x), ROUND), round(float(y), ROUND)) for x, y in faces[i]}
+
+    keys: dict[int, set] = {}
+    holes: list[list[np.ndarray]] = [[] for _ in faces]
+    for i in range(n):
+        f = faces[i]
+        vx, vy = float(f[0, 0]), float(f[0, 1])
+        cands = grid.get((int(vx // cell), int(vy // cell)), [])
         best = None
-        for j, g in enumerate(faces):
-            if i == j or areas[j] <= areas[i] or (keys[i] & keys[j]):
+        for j in list(cands) + large:
+            if (j == i or areas[j] <= areas[i]
+                    or not (boxes[j, 0] < boxes[i, 0] and boxes[j, 1] < boxes[i, 1]
+                            and boxes[j, 2] > boxes[i, 2] and boxes[j, 3] > boxes[i, 3])):
                 continue
-            if points_in_polygon(f[:1, 0], f[:1, 1], g)[0]:
+            if i not in keys:
+                keys[i] = node_key_set(i)
+            if j not in keys:
+                keys[j] = node_key_set(j)
+            if keys[i] & keys[j]:
+                continue  # shared nodes → same component → tiling, not nesting
+            if points_in_polygon(f[:1, 0], f[:1, 1], faces[j])[0]:
                 if best is None or areas[j] < areas[best]:
-                    best = j
+                    best = int(j)
         if best is not None:
             holes[best].append(f)
     return [(f, holes[i]) for i, f in enumerate(faces)]

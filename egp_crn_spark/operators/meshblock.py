@@ -198,10 +198,26 @@ def validate_meshblock(arcs: DataFrame, restore: DataFrame,
     return out, faces, progress
 
 
+def _res_for_faces(faces: DataFrame, vertices: str = "vertices") -> int:
+    """Prefilter resolution matched to face size: the finest res whose
+    cell is >= the median face bbox extent. Cells much coarser than the
+    faces turn the cover-cell equi-join into an all-pairs-per-cell
+    explosion (candidates/deadend ~ (cell/face)²); cells much finer
+    inflate the polyfill. One tiny percentile action on the bbox
+    extents."""
+    bb = GX.bbox(F.col(vertices))
+    ext = faces.select(
+        F.greatest(bb["xmax"] - bb["xmin"], bb["ymax"] - bb["ymin"]).alias("d")
+    )
+    row = ext.agg(F.percentile_approx("d", 0.5).alias("m")).first()
+    med = float(row["m"]) if row and row["m"] else C.cell_size(6)
+    return C.res_for_radius(max(med, 1e-9))
+
+
 def mb_v201_deadend_within(arcs: DataFrame, faces: DataFrame,
                            id_col: str = "segment_id",
                            vertices: str = "vertices",
-                           res: int = 6) -> DataFrame:
+                           res: int | None = None) -> DataFrame:
     """Deadend arcs must be within exactly ONE face
     (validate_meshblock.py:368-392).
 
@@ -217,6 +233,8 @@ def mb_v201_deadend_within(arcs: DataFrame, faces: DataFrame,
     sampling alone can miss an exit-and-reenter)."""
     from .spatial_join import polygon_cover_cells
 
+    if res is None:
+        res = _res_for_faces(faces, vertices)
     dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
     dead = arcs.join(dead_ids, id_col, "left_semi").select(id_col, vertices)
 
