@@ -331,3 +331,23 @@ def test_v302_double_deadend_set_subtraction(spark):
     # even though the (stub2, road2) pair arises twice (once per deadend
     # endpoint) and connected holds it only once.
     assert got == {"stub", "road"}
+
+
+def test_ivf_build_probe_reuse(spark, embeddings):
+    """ivf_assign builds the index once; two probe batches against the
+    SAME index return exactly what one-shot ivf_topk returns."""
+    from egp_crn_spark.operators.similarity import (
+        ivf_assign, ivf_probe, ivf_topk, train_centroids)
+
+    C = train_centroids(embeddings, ncells=4)
+    index = ivf_assign(embeddings, C).cache()
+    for m in (0, 1):
+        q = embeddings.filter(F.col("vec_id") % 20 == m).select(
+            F.col("vec_id").alias("q_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+        got = ivf_probe(q, index, C, k=3, nprobe=2).toPandas()
+        want = ivf_topk(q, embeddings, k=3, ncells=4, nprobe=2,
+                        centroids=C).toPandas()
+        key = ["q_id", "n_id", "rank"]
+        assert sorted(map(tuple, got[key].values.tolist())) == \
+               sorted(map(tuple, want[key].values.tolist()))
