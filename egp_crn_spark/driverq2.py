@@ -482,12 +482,15 @@ def _simhash_sql() -> str:
                        sum(case when (({nib}) >> (b % 4)) & 1 = 1
                                 then 1 else -1 end) as v
                 from bits group by doc_id, b),
-      sh as (select doc_id,
+      shv as (select doc_id,
                     sum(case when v > 0 then
                           case when b = 63 then (-9223372036854775807 - 1)
                                else (1::bigint << cast(b as int)) end
                         else 0 end) as sh
              from votes group by doc_id),
+      -- zero-token docs dropped by the unnest get sh = 0 (all votes tie)
+      sh as (select d.doc_id, coalesce(s.sh, 0) as sh
+             from documents d left join shv s using (doc_id)),
       banded as (select doc_id, sh, band,
                         (sh >> (band * 16)) & 65535 as bucket
                  from sh, (select unnest(range(0, 4)) as band)),
@@ -873,14 +876,20 @@ def q_stream_window_counts(spark, sf_dir):
     aggregation (streaming/__init__.py), memory sink collects the
     complete-mode result — which must equal the batch SQL aggregation
     (the module's stream == batch design contract, now driver-checked)."""
+    import hashlib
+    import os
     import tempfile
     import uuid
 
     from .streaming import windowed_event_counts
 
     ev = _t(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="egp_stream_events_")
-    ev.write.mode("overwrite").parquet(path)
+    # stable per-input staging dir, written once and reused — a fresh
+    # mkdtemp per invocation would leak one events copy per harness run
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"egp_stream_events_{key}")
+    if not os.path.isdir(path) or not os.listdir(path):
+        ev.write.mode("overwrite").parquet(path)
     stream = spark.readStream.schema(ev.schema).parquet(path)
     name = "sw_" + uuid.uuid4().hex[:8]
     q = (windowed_event_counts(stream).writeStream.outputMode("complete")

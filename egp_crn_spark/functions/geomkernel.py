@@ -189,6 +189,22 @@ def polylines_cross_shapely(a: np.ndarray, b: np.ndarray) -> bool:
     return False
 
 
+def points_on_ring(xs: np.ndarray, ys: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized: is each point ON the (unclosed) ring's boundary —
+    collinear with an edge and within its extent, endpoints inclusive?"""
+    on = np.zeros(len(xs), dtype=bool)
+    r2 = np.roll(ring, -1, axis=0)
+    for (ax, ay), (bx, by) in zip(ring, r2):
+        cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+        scale = max(1.0, float(np.hypot(bx - ax, by - ay)))
+        ab2 = (bx - ax) ** 2 + (by - ay) ** 2
+        if ab2 <= EPS:
+            continue
+        t = ((xs - ax) * (bx - ax) + (ys - ay) * (by - ay)) / ab2
+        on |= (np.abs(cross) <= EPS * scale) & (t >= -EPS) & (t <= 1 + EPS)
+    return on
+
+
 def polyline_crosses_ring(line: np.ndarray, ring: np.ndarray) -> bool:
     """Does any line segment properly cross an edge of the (unclosed)
     ring? Vectorized: one pass per line segment over all ring edges."""
@@ -208,19 +224,29 @@ def polyline_within_polygon(line: np.ndarray, shell: np.ndarray,
     interiors excluded) — shapely `within` for the meshblock 201 check
     (validate_meshblock.py:368-392)?
 
-    Sample test (all vertices + segment midpoints inside) PLUS a proper-
-    crossing test of every line segment against every ring edge — the
-    crossing test catches a segment that exits and re-enters a CONCAVE
-    shell between sample points, which sampling alone misses."""
+    Sample test (all vertices + segment midpoints inside-or-on-boundary)
+    PLUS a proper-crossing test of every line segment against every ring
+    edge — the crossing test catches a segment that exits and re-enters
+    a CONCAVE shell between sample points, which sampling alone misses.
+
+    Boundary inclusivity is EXPLICIT: the ray-cast alone excludes points
+    on right/top edges and corners, which false-flags the most common
+    real deadend shape — a stub hanging off a junction node that sits on
+    the face ring (shapely `within` accepts it). A sample ON a hole ring
+    is likewise on the face boundary, not inside the hole."""
     mids = (line[1:] + line[:-1]) / 2.0
     pts = np.vstack([line, mids])
-    if not points_in_polygon(pts[:, 0], pts[:, 1], shell).all():
-        return False
+    ok = points_in_polygon(pts[:, 0], pts[:, 1], shell)
+    if not ok.all():
+        ok = ok | points_on_ring(pts[:, 0], pts[:, 1], shell)
+        if not ok.all():
+            return False
     if polyline_crosses_ring(line, shell):
         return False
     for h in holes:
         h = np.asarray(h, dtype=np.float64)
-        if points_in_polygon(pts[:, 0], pts[:, 1], h).any():
+        in_hole = points_in_polygon(pts[:, 0], pts[:, 1], h)
+        if in_hole.any() and (in_hole & ~points_on_ring(pts[:, 0], pts[:, 1], h)).any():
             return False
         if polyline_crosses_ring(line, h):
             return False

@@ -258,8 +258,9 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     evaluates interpreted (~10x slower at corpus scale). Exploding
     tokens to rows makes the hash one flat projection and the votes 64
     codegen-friendly sums; the groupBy(id) is one shuffle on the id.
-    Documents with zero tokens yield no signature (they cannot be
-    near-dups)."""
+    Documents with zero tokens get sh = 0 (all 64 votes tie) so
+    identical empty docs still pair at hamming 0 — parity with the
+    Column-expression simhash64()."""
     ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
     if use_md5:
         # parse the 64-bit value as four 16-bit chunks (4 conv() calls
@@ -294,7 +295,10 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     out = terms[0]
     for t in terms[1:]:
         out = out + t
-    return agg.select(id_col, out.alias("sh"))
+    sig = agg.select(id_col, out.alias("sh"))
+    # re-attach zero-token documents (the explode dropped them) with the
+    # all-ties signature the aggregate formulation gives them
+    return df.select(id_col).join(sig, id_col, "left").fillna({"sh": 0})
 
 
 def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -182,16 +182,25 @@ def validate_meshblock(arcs: DataFrame, restore: DataFrame,
         ).fillna({f"v{code}": 0})
 
     missing = mb_v102_missing_bo(arcs, restore)
+    # progress partitions every arc exactly once: Invalid = flagged by any
+    # representation validation (v201 flags DEADEND arcs, v202 may too),
+    # Excluded = deadends NOT flagged, Valid = the rest — no arc is both
+    # Invalid and Excluded (the round-1 counting subtracted deadend flags
+    # from the non-deadend pool, silently double-penalizing them).
     n_total = arcs.count()
-    n_dead = N.deadends(arcs, id_col).select(id_col).distinct().count()
-    n_input = n_total - n_dead
+    dead_ids = N.deadends(arcs, id_col).select(id_col).distinct()
     n_invalid = out.filter((F.col("v201") == 1) | (F.col("v202") == 1)).count()
+    n_dead_ok = (
+        out.filter((F.col("v201") == 0) & (F.col("v202") == 0))
+        .join(dead_ids, id_col, "left_semi")
+        .count()
+    )
     progress = spark.createDataFrame(
         [
-            ("Valid", n_input - n_invalid),
+            ("Valid", n_total - n_invalid - n_dead_ok),
             ("Invalid", n_invalid),
             ("Invalid (Missing BO)", missing.count()),
-            ("Excluded", n_dead),
+            ("Excluded", n_dead_ok),
         ],
         "status string, count long",
     )

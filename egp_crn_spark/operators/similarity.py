@@ -71,12 +71,14 @@ def train_centroids(corpus: DataFrame, ncells: int, vec_col: str = "embedding",
                     sample: int = 4096, iters: int = 5, seed: int = 7,
                     id_col: str = "vec_id") -> np.ndarray:
     """k-means on a seeded driver-side sample (classic IVF training).
-    The sample is orderBy(id_col).limit(sample) — a bare limit() takes
-    whichever partitions answer first, which would make the centroids
-    (and every downstream ANN result) run-order dependent."""
+    The sample is the top-``sample`` rows by xxhash64(id) — deterministic
+    (a bare limit() takes whichever partitions answer first, making every
+    downstream ANN result run-order dependent) AND unbiased for
+    id-ordered corpora (the first N ids of a source/time-ordered table
+    are not a representative slice; a hash order is)."""
     pdf = (
         corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample)
         .toPandas()
     )

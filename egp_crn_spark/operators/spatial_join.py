@@ -207,19 +207,20 @@ def pip_refine_udf(spark, polys: DataFrame,
     CONTRACT: ``polys`` is dimension-sized (it is collected + broadcast).
     The bound is ENFORCED, not assumed — a fact-sized polygon set raises
     instead of silently OOMing the driver; shard such sets (e.g. per
-    tile via groupBy().applyInPandas) before refining.
+    tile via groupBy().applyInPandas) before refining. The bound is
+    checked INSIDE the collection loop (no extra count job — the
+    polygon lineage runs exactly once).
     """
-    probe = polys.select("poly_id").limit(max_polys + 1).count()
-    if probe > max_polys:
-        raise ValueError(
-            f"pip_refine_udf broadcasts the polygon set, but it exceeds "
-            f"max_polys={max_polys}; shard the polygons (per-tile "
-            f"applyInPandas) or raise the bound explicitly"
-        )
-    polys_local = {
-        int(r["poly_id"]): np.asarray([list(p) for p in r["vertices"]], dtype=np.float64)
-        for r in polys.select("poly_id", "vertices").toLocalIterator()
-    }
+    polys_local: dict[int, np.ndarray] = {}
+    for r in polys.select("poly_id", "vertices").toLocalIterator():
+        if len(polys_local) >= max_polys:
+            raise ValueError(
+                f"pip_refine_udf broadcasts the polygon set, but it exceeds "
+                f"max_polys={max_polys}; shard the polygons (per-tile "
+                f"applyInPandas) or raise the bound explicitly"
+            )
+        polys_local[int(r["poly_id"])] = np.asarray(
+            [list(p) for p in r["vertices"]], dtype=np.float64)
     # group polygons by vertex count so the kernel vectorizes across ALL
     # candidate rows of a batch (one gather-indexed ray-cast pass per edge)
     by_count: dict[int, tuple[dict[int, int], np.ndarray]] = {}

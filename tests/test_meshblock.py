@@ -133,7 +133,10 @@ def test_validate_meshblock_composed(spark, grid_net):
     assert pf.loc["dead2", "v201"] == 1
     prog = {r.status: r["count"] for _, r in progress.toPandas().iterrows()}
     assert prog["Invalid (Missing BO)"] == 0
-    assert prog["Excluded"] >= 2  # deadend arcs excluded from meshblock input
+    # partition: dead2 (v201) and bo_float (v202) are Invalid even though
+    # they are deadends; only the unflagged deadend (dead1) is Excluded
+    assert prog["Invalid"] >= 2
+    assert prog["Excluded"] == 1
     assert prog["Valid"] + prog["Invalid"] + prog["Excluded"] == grid_net.count()
 
 

@@ -88,5 +88,10 @@ def test_mb_v201_is_distributed(spark):
     df = MB.mb_v201_deadend_within(net, faces)
     p = plans.physical_plan(df)
     assert "MapInPandas" in p, "exact refine must be Arrow-batched"
-    assert re.search(r"hashpartitioning\(_cell|_cell#\d+\]", p) or "_cell" in p, \
-        "candidates must come from a cell equi-join"
+    # the candidate join must be a real equi-join KEYED on the cover
+    # cell: either a shuffle partitioned on _cell or a hash join whose
+    # key list contains _cell — the bare presence of a _cell column
+    # would not fail if this regressed to a nested-loop/collect design
+    assert (re.search(r"hashpartitioning\([^)]*_cell#\d+", p)
+            or re.search(r"(?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)\s*\[?[^\]]*_cell#\d+", p)), \
+        f"candidates must come from a cell equi-join:\n{p[:2000]}"

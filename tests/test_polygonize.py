@@ -118,3 +118,25 @@ def test_polyline_within_polygon_concave_exactness():
     hole = np.array([(40, 20), (60, 20), (60, 40), (40, 40)], dtype=np.float64)
     assert not GK.polyline_within_polygon(
         np.array([(45, 25), (55, 35)], dtype=np.float64), shell, [hole])
+
+
+def test_polyline_within_polygon_boundary_inclusive():
+    """A deadend stub hanging off a ring node (junction on the face
+    boundary) is WITHIN the face — shapely semantics; the bare ray-cast
+    excludes right/top edges and corners, so boundary inclusion must be
+    explicit (and direction-independent)."""
+    from egp_crn_spark.functions import geomkernel as GK
+
+    shell = np.array([(4000, 4000), (5000, 4000), (5000, 5000), (4000, 5000)],
+                     dtype=np.float64)
+    for corner in [(4000, 4000), (5000, 4000), (5000, 5000), (4000, 5000)]:
+        inward = np.sign(np.array([4500, 4500]) - np.array(corner, dtype=float))
+        stub = np.array([corner, np.array(corner) + 100 * inward], dtype=np.float64)
+        assert GK.polyline_within_polygon(stub, shell), corner
+        outward = np.array([corner, np.array(corner) - 100 * inward], dtype=np.float64)
+        assert not GK.polyline_within_polygon(outward, shell), corner
+    # stub from an edge midpoint node inward / outward
+    assert GK.polyline_within_polygon(
+        np.array([(4500, 5000), (4500, 4900)], dtype=np.float64), shell)
+    assert not GK.polyline_within_polygon(
+        np.array([(4500, 5000), (4500, 5100)], dtype=np.float64), shell)
