@@ -52,3 +52,40 @@ def test_bucketed_aggregate_no_shuffle(spark, bucketed):
     a, _ = bucketed
     agg = a.groupBy("cell_id").agg(F.sum("v"))
     assert plans.count_exchanges(agg) == 0, plans.physical_plan(agg)
+
+
+def test_ivf_index_bucketed_serving(spark):
+    """The ANN serving path: ivf_assign builds the index, it is WRITTEN
+    bucketed by cell, and ivf_probe against the bucketed table shuffles
+    ONLY the (small) probe side — the corpus side reads pre-bucketed
+    with no Exchange above its scan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from egp_crn_spark import plans
+    from egp_crn_spark.operators.similarity import ivf_assign, ivf_probe
+
+    rng = np.random.default_rng(5)
+    C = rng.standard_normal((4, 8))
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    corpus = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.xxhash64("id", F.lit(d)), F.lit(1001)).cast("double") / 500.0 - 1.0)
+            for d in range(8)
+        ]).alias("embedding"),
+    )
+    save_bucketed_table(ivf_assign(corpus, C), "bt_ivf_index", "cell", num_buckets=4)
+    index = spark.table("bt_ivf_index")
+    queries = corpus.filter("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    out = ivf_probe(queries, index, C, k=3, nprobe=2)
+    p = plans.physical_plan(out)
+    # the corpus/index side must come straight off the bucketed scan:
+    # exactly the exchanges needed for the probe side + window remain
+    import re
+    scan_bucketed = re.search(r"Scan parquet [^\n]*bt_ivf_index[^\n]*Bucketed: true",
+                              p) or "SelectedBucketsCount" in p
+    assert scan_bucketed, f"index scan must be bucketed:\n{p[:1500]}"
+    assert out.count() > 0
