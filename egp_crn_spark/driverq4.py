@@ -670,6 +670,159 @@ SQL_DISSOLVE_BLOCKS = f"""
 """
 
 
+# ---------------------------------------------------------------- standardize (P2–P11)
+_STD_N = 1024
+
+
+def _std_raw(spark, sf_dir):
+    """Messy raw arcs exercising the whole standardize pipeline: invalid/
+    duplicate/null ids, domain-coded strings, nulls, NRN integrity
+    violations, null-coordinate points, adjacent duplicate vertices, and
+    zero-length geometries (dropped)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < _STD_N)
+    k = F.col("o_orderkey")
+    x1 = (k * 3).cast("double") + 1000.0
+    y = F.lit(7000.0)
+    p1, p2 = F.array(x1, y), F.array(x1 + 2.0, y)
+    nullpt = F.array(F.lit(None).cast("double"), y)
+    verts = (
+        F.when(k % 17 == 0, F.array(p1, p1))            # zero-length → dropped
+        .when(k % 11 == 0, F.array(p1, p2, nullpt))      # null coord → stripped
+        .when(k % 13 == 0, F.array(p1, p1, p2))          # adjacent dup → deduped
+        .otherwise(F.array(p1, p2))
+    )
+    sid = (
+        F.when(k % 5 == 0, F.lpad(F.hex(k), 32, "0"))
+        .when(k % 5 == 1, F.concat(F.lit("id"), k))
+        .when(k % 5 == 2, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("dup"), F.expr("o_orderkey div 10")))
+    )
+    orig = (
+        F.when(k % 3 == 0, F.lpad(F.hex(k + 7), 32, "0"))
+        .when(k % 3 == 1, F.lit("bad"))
+        .otherwise(F.lit("-1"))
+    )
+    seg_t = (
+        F.when(k % 7 == 0, "1").when(k % 7 == 1, "2").when(k % 7 == 2, "1.0")
+        .when(k % 7 == 3, "2.0").when(k % 7 == 4, "9")
+        .when(k % 7 == 5, F.lit(None).cast("string")).otherwise("2")
+    )
+    bo = (
+        F.when(k % 4 == 0, "0").when(k % 4 == 1, "1").when(k % 4 == 2, "x")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    bnd = F.when(k % 6 == 0, "1").otherwise("0")
+    uid = F.when(k % 8 == 0, F.lit(None).cast("int")).otherwise(k.cast("int"))
+    st = (
+        F.when(k % 5 == 0, "3").when(k % 5 == 1, "Tunnel").when(k % 5 == 2, "9")
+        .when(k % 5 == 3, F.lit(None).cast("string")).otherwise("7.0")
+    )
+    return o.select(
+        k.alias("k"), sid.alias("segment_id"), orig.alias("segment_id_orig"),
+        seg_t.alias("segment_type"), bo.alias("bo_new"), bnd.alias("boundary"),
+        uid.alias("ngd_uid"), st.alias("structure_type"),
+        F.lit(1).alias("v99"),  # stale validation column → dropped
+        verts.alias("vertices"),
+    )
+
+
+def q_standardize_arcs(spark, sf_dir):
+    from .operators.standardize import standardize
+
+    out = standardize(_std_raw(spark, sf_dir))
+    return out.select(
+        "k", "segment_id", "segment_id_orig", "segment_type", "bo_new",
+        "boundary", "ngd_uid", "structure_type",
+        F.size("vertices").alias("n_vertices"),
+    )
+
+
+def _standardize_sql() -> str:
+    """Closed-form twin: the oracle reconstructs every standardization
+    rule (domains, cross-field i–iii, NRN integrity, deterministic sha256
+    id repair over the direction-insensitive geometry checksum) in SQL."""
+    return f"""
+      with raw as (
+        select o_orderkey as k,
+               case when o_orderkey % 5 = 0 then lpad(hex(o_orderkey), 32, '0')
+                    when o_orderkey % 5 = 1 then 'id' || o_orderkey
+                    when o_orderkey % 5 = 2 then null
+                    else 'dup' || (o_orderkey // 10) end as sid,
+               case when o_orderkey % 3 = 0 then lpad(hex(o_orderkey + 7), 32, '0')
+                    when o_orderkey % 3 = 1 then 'bad'
+                    else '-1' end as orig,
+               case when o_orderkey % 7 = 0 then '1' when o_orderkey % 7 = 1 then '2'
+                    when o_orderkey % 7 = 2 then '1.0' when o_orderkey % 7 = 3 then '2.0'
+                    when o_orderkey % 7 = 4 then '9' when o_orderkey % 7 = 5 then null
+                    else '2' end as seg_t,
+               case when o_orderkey % 4 = 0 then '0' when o_orderkey % 4 = 1 then '1'
+                    when o_orderkey % 4 = 2 then 'x' else null end as bo,
+               case when o_orderkey % 6 = 0 then '1' else '0' end as bnd,
+               case when o_orderkey % 8 = 0 then null else o_orderkey end as uid,
+               case when o_orderkey % 5 = 0 then '3' when o_orderkey % 5 = 1 then 'Tunnel'
+                    when o_orderkey % 5 = 2 then '9' when o_orderkey % 5 = 3 then null
+                    else '7.0' end as st,
+               cast(o_orderkey * 3 as double) + 1000.0 as x1
+        from orders
+        where o_orderkey < {_STD_N} and o_orderkey % 17 != 0),
+      -- cleaned vertex count: null point stripped, adjacent dup collapsed
+      dom as (
+        select k, x1,
+               -- every surviving arc cleans to exactly 2 vertices: the
+               -- null point is stripped, the adjacent dup collapses
+               2 as n_vertices,
+               coalesce(sid, '-1') as sid0, orig,
+               case when seg_t in ('1', '1.0') then 1
+                    when seg_t in ('2', '2.0') then 2 else 1 end as seg1,
+               case when bo in ('1', '1.0') then 1 else 0 end as bo1,
+               case when bnd in ('1', '1.0') then 1 else 0 end as bnd1,
+               coalesce(uid, -1) as uid1,
+               case when st in ('3', '3.0', 'Bridge moveable') then 'Bridge moveable'
+                    when st = 'Tunnel' then 'Tunnel'
+                    when st in ('7', '7.0', 'Dam') then 'Dam'
+                    else 'Unknown' end as st1
+        from raw),
+      r1 as (select dom.*, case when bo1 = 1 then 2 else seg1 end as seg2 from dom),
+      r2 as (select r1.*, case when uid1 = -1 and bo1 != 1 and seg2 = 2 then 1
+                               else bo1 end as bo2 from r1),
+      r3 as (select r2.*,
+                    case when length(orig) != 32 and orig != '-1' then '-1'
+                         else orig end as orig1 from r2),
+      r4 as (select r3.*,
+                    case when length(orig1) = 32 then 0 else bo2 end as bo3,
+                    case when length(orig1) = 32 then 0 else bnd1 end as bnd2,
+                    case when length(orig1) = 32 then 1 else seg2 end as seg3
+             from r3),
+      -- deterministic id repair over the rounded, direction-insensitive
+      -- geometry checksum (cleaned vertices are always [(x1,y),(x1+2,y)])
+      ck as (select r4.*,
+                    md5(least(
+                      printf('%.5f', x1) || ':7000.00000;' || printf('%.5f', x1 + 2.0) || ':7000.00000',
+                      printf('%.5f', x1 + 2.0) || ':7000.00000;' || printf('%.5f', x1) || ':7000.00000'
+                    )) as gck
+             from r4),
+      rk as (select ck.*,
+                    count(*) over (partition by sid0) as idn,
+                    row_number() over (partition by sid0 order by gck) as rnk
+             from ck),
+      fixed as (select rk.*,
+                       case when length(sid0) != 32
+                                 or not regexp_matches(sid0, '^[0-9a-fA-F]{{32}}$')
+                                 or idn > 1
+                            then substr(sha256(sid0 || '|' || gck || '|' || rnk), 1, 32)
+                            else sid0 end as sid1
+                from rk)
+      select k, sid1 as segment_id, orig1 as segment_id_orig,
+             cast(seg3 as int) as segment_type, cast(bo3 as int) as bo_new,
+             cast(bnd2 as int) as boundary, cast(uid1 as int) as ngd_uid,
+             st1 as structure_type, cast(n_vertices as int) as n_vertices
+      from fixed
+    """
+
+
+SQL_STANDARDIZE_ARCS = _standardize_sql()
+
+
 QUERIES4 = {
     "v101_simple": (q_v101_simple, SQL_V101),
     "v102_cluster_tol": (q_v102_cluster_tol, SQL_V102),
@@ -683,4 +836,5 @@ QUERIES4 = {
     "arc_within_network": (q_arc_within, SQL_ARC_WITHIN),
     "restore_modified": (q_restore_modified, SQL_RESTORE_MODIFIED),
     "dissolve_blocks": (q_dissolve_blocks, SQL_DISSOLVE_BLOCKS),
+    "standardize_arcs": (q_standardize_arcs, SQL_STANDARDIZE_ARCS),
 }
