@@ -92,3 +92,51 @@ def test_split_preserves_length(pts, frac):
     pieces = GK.split_line_at_distances(line, [frac * total])
     got = sum(GK.cum_lengths(p)[-1] for p in pieces)
     assert abs(got - total) < 1e-6 * max(total, 1.0)
+
+
+@given(
+    st.floats(min_value=10.0, max_value=1000.0),
+    st.floats(min_value=10.0, max_value=1000.0),
+    st.lists(st.tuples(st.floats(0.05, 0.95), st.floats(0.05, 0.95)),
+             min_size=2, max_size=5),
+    st.floats(min_value=-5000.0, max_value=5000.0),
+    st.floats(min_value=-5000.0, max_value=5000.0),
+)
+@settings(max_examples=60)
+def test_within_polygon_invariances(w, h, rel_pts, tx, ty):
+    """polyline_within_polygon: interior polylines are within; the result
+    is direction-reversal invariant and translation invariant."""
+    shell = np.array([(0, 0), (w, 0), (w, h), (0, h)], dtype=np.float64)
+    line = np.array([(rx * w, ry * h) for rx, ry in rel_pts], dtype=np.float64)
+    assert GK.polyline_within_polygon(line, shell)
+    assert GK.polyline_within_polygon(line[::-1].copy(), shell)
+    t = np.array([tx, ty])
+    assert GK.polyline_within_polygon(line + t, shell + t)
+    # push one vertex far outside → never within
+    out = line.copy()
+    out[0] = (-w, -h)
+    assert not GK.polyline_within_polygon(out, shell)
+
+
+@given(
+    st.lists(st.tuples(st.floats(0.0, 500.0), st.floats(0.0, 500.0)),
+             min_size=3, max_size=7, unique=True),
+    st.floats(0.0, 1.0), st.integers(0, 5),
+)
+@settings(max_examples=60)
+def test_points_on_ring_matches_edge_sampling(pts, frac, edge_i):
+    """Any point sampled ON a (non-degenerate) ring edge is reported on
+    the ring; the ring centroid shifted far away is not. Edges shorter
+    than the kernel EPS are legitimately skipped, so degenerate rings
+    are excluded."""
+    from hypothesis import assume
+
+    ring = np.array(pts, dtype=np.float64)
+    d = ring - np.roll(ring, -1, axis=0)
+    assume((np.hypot(d[:, 0], d[:, 1]) > 0.1).all())
+    i = edge_i % len(ring)
+    a, b = ring[i], ring[(i + 1) % len(ring)]
+    p = a + frac * (b - a)
+    assert GK.points_on_ring(np.array([p[0]]), np.array([p[1]]), ring)[0]
+    far = ring.mean(axis=0) + np.array([1e6, 1e6])
+    assert not GK.points_on_ring(np.array([far[0]]), np.array([far[1]]), ring)[0]
