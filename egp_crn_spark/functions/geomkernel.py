@@ -253,6 +253,24 @@ def polyline_within_polygon(line: np.ndarray, shell: np.ndarray,
     return True
 
 
+def segments_overlap(p1: np.ndarray, p2: np.ndarray,
+                     q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Vectorized single-segment twin of polylines_overlap: collinear
+    with a positive-length shared section. Same EPS discipline."""
+    d = p2 - p1
+    L1 = np.hypot(d[:, 0], d[:, 1])
+    ok = L1 > EPS
+    c1 = d[:, 0] * (q1[:, 1] - p1[:, 1]) - d[:, 1] * (q1[:, 0] - p1[:, 0])
+    c2 = d[:, 0] * (q2[:, 1] - p1[:, 1]) - d[:, 1] * (q2[:, 0] - p1[:, 0])
+    col = (np.abs(c1) <= EPS * L1) & (np.abs(c2) <= EPS * L1)
+    L2 = np.where(L1 > 0, L1 * L1, 1.0)
+    t1 = ((q1 - p1) * d).sum(axis=1) / L2
+    t2 = ((q2 - p1) * d).sum(axis=1) / L2
+    lo = np.minimum(t1, t2)
+    hi = np.maximum(t1, t2)
+    return ok & col & (np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > EPS)
+
+
 def polylines_overlap(a: np.ndarray, b: np.ndarray) -> bool:
     """shapely-`overlaps` semantics for polylines: they share a
     positive-length collinear section but neither equals the other.

@@ -36,7 +36,10 @@ def v101_simple(arcs: DataFrame, id_col: str = "segment_id",
                 vertices: str = "vertices") -> DataFrame:
     """Arcs must be simple (no self-cross/overlap/touch). Kernel is per
     ROW (no join), so a scalar pandas UDF over the vertex array is the
-    whole plan."""
+    whole plan — and it only runs where non-simplicity is POSSIBLE: a
+    2-vertex arc with distinct endpoints is simple by construction, and
+    in a standardized network that is the overwhelming majority, so the
+    Column prefilter keeps ~all rows out of Python entirely."""
     @F.pandas_udf("boolean")
     def _simple(vs: pd.Series) -> pd.Series:
         return pd.Series(
@@ -44,7 +47,13 @@ def v101_simple(arcs: DataFrame, id_col: str = "segment_id",
              for v in vs]
         )
 
-    return arcs.filter(~_simple(F.col(vertices))).select(F.col(id_col).alias("flagged_id"))
+    v = F.col(vertices)
+    may_violate = (F.size(v) > 2) | (F.element_at(v, 1) == F.element_at(v, 2))
+    return (
+        arcs.filter(may_violate)
+        .filter(~_simple(v))
+        .select(F.col(id_col).alias("flagged_id"))
+    )
 
 
 # ---------------------------------------------------------------- 102
@@ -94,15 +103,39 @@ def _arc_pair_candidates(arcs: DataFrame, res: int, id_col: str, vertices: str) 
     return pairs.filter(F.col("a_id") < F.col("b_id"))
 
 
-def _pair_refine(pairs: DataFrame, kernel, out_name: str) -> DataFrame:
+def _pair_refine(pairs: DataFrame, kernel, out_name: str,
+                 seg_fast=None) -> DataFrame:
     """Run a numpy pair-kernel over candidate pairs; returns pairs where
-    kernel(a, b) is True. mapInPandas keeps only ids + verdict."""
+    kernel(a, b) is True. mapInPandas keeps only ids + verdict.
+
+    ``seg_fast``: optional VECTORIZED kernel for the 2-vertex x 2-vertex
+    case — (p1, p2, q1, q2) arrays of shape (n, 2) → bool mask. Most of
+    a noded network is single segments, so batching them through one
+    numpy pass instead of a per-pair Python call is the difference
+    between a per-batch loop of thousands and a handful of array ops."""
     def refine(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
             hits_a, hits_b = [], []
-            for aid, bid, av, bv in zip(pdf["a_id"], pdf["b_id"], pdf["averts"], pdf["bverts"]):
+            rows = zip(pdf["a_id"], pdf["b_id"], pdf["averts"], pdf["bverts"])
+            if seg_fast is not None:
+                fast_rows, slow_rows = [], []
+                for row in rows:
+                    (fast_rows if len(row[2]) == 2 and len(row[3]) == 2
+                     else slow_rows).append(row)
+                if fast_rows:
+                    p1 = np.array([[*r[2][0]] for r in fast_rows], dtype=np.float64)
+                    p2 = np.array([[*r[2][1]] for r in fast_rows], dtype=np.float64)
+                    q1 = np.array([[*r[3][0]] for r in fast_rows], dtype=np.float64)
+                    q2 = np.array([[*r[3][1]] for r in fast_rows], dtype=np.float64)
+                    mask = seg_fast(p1, p2, q1, q2)
+                    for r, hit in zip(fast_rows, mask):
+                        if hit:
+                            hits_a.append(r[0])
+                            hits_b.append(r[1])
+                rows = slow_rows
+            for aid, bid, av, bv in rows:
                 a = np.asarray([list(p) for p in av], dtype=np.float64)
                 b = np.asarray([list(p) for p in bv], dtype=np.float64)
                 if kernel(a, b):
@@ -137,16 +170,24 @@ def v202_overlap(arcs: DataFrame, res: int = 10, id_col: str = "segment_id",
         .join(ck.withColumnRenamed(id_col, "b_id").withColumnRenamed("_ck", "_ck_b"), "b_id")
         .filter(F.col("_ck_a") != F.col("_ck_b"))
     )
-    return _pairs_to_flags(_pair_refine(cand, GK.polylines_overlap, "overlaps"))
+    return _pairs_to_flags(_pair_refine(
+        cand, GK.polylines_overlap, "overlaps",
+        seg_fast=GK.segments_overlap,
+    ))
 
 
 # ---------------------------------------------------------------- 303
 def v303_crosses(arcs: DataFrame, res: int = 10, id_col: str = "segment_id",
                  vertices: str = "vertices") -> DataFrame:
     """Arcs must not cross (must be segmented at intersections) —
-    validate_topology.py:274-294."""
+    validate_topology.py:274-294. For single-segment pairs (no interior
+    vertices) shapely `crosses` reduces to the proper-crossing test,
+    which vectorizes across the whole Arrow batch."""
     cand = _arc_pair_candidates(arcs, res, id_col, vertices)
-    return _pairs_to_flags(_pair_refine(cand, GK.polylines_cross_shapely, "crosses"))
+    return _pairs_to_flags(_pair_refine(
+        cand, GK.polylines_cross_shapely, "crosses",
+        seg_fast=GK.segments_properly_intersect,
+    ))
 
 
 # ---------------------------------------------------------------- 301
