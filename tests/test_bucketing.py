@@ -75,6 +75,7 @@ def test_ivf_index_bucketed_serving(spark):
             for d in range(8)
         ]).alias("embedding"),
     )
+    spark.sql("drop table if exists bt_ivf_index")
     save_bucketed_table(ivf_assign(corpus, C), "bt_ivf_index", "cell", num_buckets=4)
     index = spark.table("bt_ivf_index")
     queries = corpus.filter("vec_id % 40 = 0").select(
@@ -89,3 +90,4 @@ def test_ivf_index_bucketed_serving(spark):
                               p) or "SelectedBucketsCount" in p
     assert scan_bucketed, f"index scan must be bucketed:\n{p[:1500]}"
     assert out.count() > 0
+    spark.sql("drop table if exists bt_ivf_index")
