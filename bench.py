@@ -144,7 +144,9 @@ def main() -> None:
     for name in ["conflation_crn", "distance_join", "knn_nearest", "node_degree",
                  "dup_geometry", "sessionize", "pricing_summary", "pip_quads",
                  "minhash_lsh_dup", "embedding_topk", "segment_split",
-                 "neighbour_review", "token_stats"]:
+                 "neighbour_review", "token_stats",
+                 # topology pair-validations (round-3 column-pruned path)
+                 "v303_crosses", "v302_min_distance"]:
         fn = QUERIES[name][0]
         run(name, lambda fn=fn: fn(spark, sf_dir))
 

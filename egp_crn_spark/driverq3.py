@@ -106,7 +106,85 @@ SQL_CONFORM_SOURCE = """
 """
 
 
+# ---------------------------------------------------------------- sink/catalog
+_RT_PRIME = 1000003
+_RT_MULT = 2654435761
+
+
+def q_table_roundtrip(spark, sf_dir):
+    """S2–S5 + S8 sink/catalog round-trip (reference: layer-existence probe
+    validate_topology.py:66-73, GPKG create/delete helpers.py:63-107,
+    feature writer helpers.py:211-282, restore-snapshot second read
+    validate_meshblock.py:78-80):
+
+      drop → probe(absent) → range-partitioned write of snapshot v1
+      (filtered) and v2 (full) → bucketed managed-table write → probe
+      (present) → read all three back → per-(snapshot, bucket) row counts
+      + key checksums.
+
+    The oracle computes the same aggregates straight from `orders`, so a
+    hash match proves the write+read paths preserved every row exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.tables import (drop_table, load_table, save_bucketed_table,
+                                 save_table, table_exists)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 8).alias("bucket")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/egp_roundtrip_{tag}"
+    bucketed_name = f"egp_rt_buckets_{tag}"
+
+    drop_table(spark, base)                       # S4 (idempotent fresh start)
+    assert not table_exists(spark, base)          # S2 probe: absent
+    v1 = o.filter(F.col("o_orderkey") % 5 != 0)
+    save_table(v1, base, range_partition_col="bucket", snapshot="v1")  # S3+S5
+    save_table(o, base, range_partition_col="bucket", snapshot="v2")
+    assert table_exists(spark, base)              # S2 probe: present
+    spark.sql(f"drop table if exists {bucketed_name}")
+    # a FRESH session's catalog doesn't know a previous run's managed
+    # table, so DROP alone leaves its warehouse directory behind and the
+    # re-create fails with LOCATION_ALREADY_EXISTS — clear it physically
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, bucketed_name.lower()), ignore_errors=True)
+    save_bucketed_table(o, bucketed_name, "bucket", num_buckets=8,
+                        sort_col="o_orderkey")    # S5 bucketed sink
+
+    r1 = load_table(spark, base, snapshot="v1").withColumn("snapshot", F.lit("v1"))
+    r2 = load_table(spark, base, snapshot="v2").withColumn("snapshot", F.lit("v2"))  # S8
+    rb = spark.table(bucketed_name).withColumn("snapshot", F.lit("bucketed"))
+    ck = F.sum((F.col("o_orderkey") * _RT_MULT) % _RT_PRIME).alias("key_checksum")
+    return (
+        r1.unionByName(r2).unionByName(rb)
+        .groupBy("snapshot", "bucket")
+        .agg(F.count("*").alias("row_count"), ck)
+    )
+
+
+SQL_TABLE_ROUNDTRIP = f"""
+  with o as (select o_orderkey, o_orderkey % 8 as bucket from orders)
+  select 'v1' as snapshot, bucket, count(*) as row_count,
+         cast(sum((o_orderkey * {_RT_MULT}) % {_RT_PRIME}) as bigint) as key_checksum
+  from o where o_orderkey % 5 <> 0 group by bucket
+  union all
+  select 'v2', bucket, count(*),
+         cast(sum((o_orderkey * {_RT_MULT}) % {_RT_PRIME}) as bigint)
+  from o group by bucket
+  union all
+  select 'bucketed', bucket, count(*),
+         cast(sum((o_orderkey * {_RT_MULT}) % {_RT_PRIME}) as bigint)
+  from o group by bucket
+"""
+
+
 QUERIES3 = {
     "neighbour_review": (q_neighbour_review, SQL_NEIGHBOUR_REVIEW),
     "conform_source": (q_conform_source, SQL_CONFORM_SOURCE),
+    "table_roundtrip": (q_table_roundtrip, SQL_TABLE_ROUNDTRIP),
 }

@@ -19,6 +19,28 @@ Twin ``*_sql`` emitters produce the same arithmetic as DuckDB-compatible
 SQL for the driver's oracle harness; ``*_np`` twins are vectorized numpy
 for use inside pandas-UDF refinement kernels. One algorithm, three
 renderers — keep them in sync.
+
+H3/S2 BACKEND SEAM — every operator reaches cell geometry ONLY through
+this module's API (tests/test_cells_conformance.py is the contract any
+backend must pass). To swap in real H3 on a cluster with the lib:
+
+  cell_of_xy(x, y, res)   → h3.latlng_to_cell (inside a pandas UDF batch)
+  parent_cell(c, r, pr)   → h3.cell_to_parent
+  kring_cells(ix, iy, r)  → h3.grid_disk of cell_of_xy (ix/iy collapse
+                            into the cell id; k picked via res_for_radius)
+  idx_of / cell_encode    → internal to the Morton backend; H3 callers
+                            use cell_of_xy directly
+  cell_size(res)          → min edge length of a res-``res`` hex
+                            (hex edge ≥ incircle radius: k-ring coverage
+                            proofs carry over with k bumped by 1)
+  res_for_radius(radius)  → finest res whose cell incircle ≥ radius
+  compact/uncompact       → h3.compact_cells / h3.uncompact_cells
+                            (operators/cellsets.py)
+
+The coverage invariant every operator relies on (and the conformance
+test asserts): a point within ``radius`` of another point/segment shares
+at least one cell between its k-ring(1) at res_for_radius(radius) and
+the other geometry's cover cells at the same res.
 """
 
 from __future__ import annotations
@@ -66,6 +88,17 @@ def xy_to_ixy(x: Column, y: Column, res: int) -> tuple[Column, Column]:
 def cell_of_xy(x: Column, y: Column, res: int) -> Column:
     ix, iy = xy_to_ixy(x, y, res)
     return cell_encode(ix, iy, res)
+
+
+def idx_of(coord: Column, res: int) -> Column:
+    """Clamped integer cell coordinate of ONE axis coordinate — the
+    building block for bbox cover-cell explosion (explode
+    sequence(idx_of(lo), idx_of(hi)) per axis)."""
+    n = 1 << res
+    return (
+        F.least(F.greatest(F.floor(coord * F.lit(n / EXTENT)), F.lit(0)), F.lit(n - 1))
+        .cast("long")
+    )
 
 
 def parent_cell(cell: Column, res: int, parent_res: int) -> Column:

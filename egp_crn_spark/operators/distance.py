@@ -42,11 +42,8 @@ def _segment_cover_cells(segs: DataFrame, res: int) -> DataFrame:
     """Explode each segment to the cells its bbox covers at ``res``
     (segments are short relative to the cell at res_for_radius, so the
     bbox cover is a tight superset)."""
-    n = 1 << res
-    scale = n / C.EXTENT
-
     def idx(c: Column) -> Column:
-        return F.least(F.greatest(F.floor(c * scale), F.lit(0)), F.lit(n - 1)).cast("long")
+        return C.idx_of(c, res)
 
     return (
         segs.withColumn(

@@ -66,14 +66,11 @@ def polygonize_tiled(
     """Distributed polygonize → faces (face_id, tile, vertices, area)."""
     size = C.cell_size(tile_res)
     buf = max_face_diameter if max_face_diameter is not None else size / 2.0
-    n = 1 << tile_res
-    scale = n / C.EXTENT
 
     bb = GX.bbox(F.col(vertices))
 
     def idx(c, lo):
-        v = F.floor((c + F.lit(lo)) * scale)
-        return F.least(F.greatest(v, F.lit(0)), F.lit(n - 1)).cast("long")
+        return C.idx_of(c + F.lit(lo), tile_res)
 
     tiled = (
         arcs.select(F.col(vertices), bb.alias("_bb"))
@@ -187,14 +184,24 @@ def validate_meshblock(arcs: DataFrame, restore: DataFrame,
     # Excluded = deadends NOT flagged, Valid = the rest — no arc is both
     # Invalid and Excluded (the round-1 counting subtracted deadend flags
     # from the non-deadend pool, silently double-penalizing them).
-    n_total = arcs.count()
+    # ONE aggregation action over `out`'s three-join lineage (the round-2
+    # version fired 3 separate counts, recomputing that lineage each
+    # time); missing.count() is the restore table's own lineage.
     dead_ids = N.deadends(arcs, id_col).select(id_col).distinct()
-    n_invalid = out.filter((F.col("v201") == 1) | (F.col("v202") == 1)).count()
-    n_dead_ok = (
-        out.filter((F.col("v201") == 0) & (F.col("v202") == 0))
-        .join(dead_ids, id_col, "left_semi")
-        .count()
+    invalid = (F.col("v201") == 1) | (F.col("v202") == 1)
+    row = (
+        out.join(dead_ids.withColumn("_dead", F.lit(1)), id_col, "left")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(invalid, 1).otherwise(0)).alias("n_invalid"),
+            F.sum(F.when(~invalid & F.col("_dead").isNotNull(), 1).otherwise(0))
+            .alias("n_dead_ok"),
+        )
+        .first()
     )
+    n_total = int(row["n_total"] or 0)
+    n_invalid = int(row["n_invalid"] or 0)
+    n_dead_ok = int(row["n_dead_ok"] or 0)
     progress = spark.createDataFrame(
         [
             ("Valid", n_total - n_invalid - n_dead_ok),

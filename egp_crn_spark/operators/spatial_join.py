@@ -42,11 +42,8 @@ def _rect_cover_cells(df: DataFrame, prefix: str, res: int) -> DataFrame:
     neighbouring cell — `intersects` must count boundary touches (shapely
     semantics at conflate_meshblock.py:105).
     """
-    n = 1 << res
-    scale = n / C.EXTENT
-
     def idx(col: str) -> Column:
-        return F.least(F.greatest(F.floor(F.col(col) * scale), F.lit(0)), F.lit(n - 1)).cast("long")
+        return C.idx_of(F.col(col), res)
 
     return (
         df.withColumn("_ix", F.explode(F.sequence(idx(f"{prefix}xmin"), idx(f"{prefix}xmax"))))
@@ -61,17 +58,49 @@ def rect_intersects_join(
     b: DataFrame,
     res: int,
     broadcast_b: bool = False,
+    salt_hot: tuple[int, int] | None = None,
 ) -> DataFrame:
     """All (a, b) pairs whose axis-aligned rects intersect (touch counts).
 
     ``a`` columns: a_id, axmin, aymin, axmax, aymax (same for b with b_).
     Output adds ``overlap_area``. One row per pair (reference-point dedup).
-    """
+
+    ``salt_hot=(threshold, n_salt)``: explicit skew handling for dense
+    'urban' cells (BASELINE.json north_star). Cells measured hotter than
+    ``threshold`` cover-rows are salted — the a-side gets
+    pmod(xxhash64(a_id), n_salt), the b-side REPLICATES its hot rows to
+    every salt — so one hot cell's candidate mass spreads over n_salt
+    join tasks instead of one. Pair semantics are unchanged: every pair
+    still meets exactly once (in one (cell, salt)). Cold cells pay
+    nothing (salt 0 both sides). The hot set is MEASURED (one cheap
+    pre-agg pass), never guessed — operators/skew.py discipline."""
     ac = _rect_cover_cells(a, "a", res)
     bc = _rect_cover_cells(b, "b", res)
     if broadcast_b:
         bc = F.broadcast(bc)
-    j = ac.join(bc, "_cell")
+    if salt_hot is not None:
+        threshold, n_salt = salt_hot
+        from .skew import hot_keys
+
+        hot = F.broadcast(
+            hot_keys(ac, "_cell", threshold).withColumn("_hot", F.lit(1))
+        )
+        ac = ac.join(hot, "_cell", "left").withColumn(
+            "_salt",
+            F.when(F.col("_hot").isNotNull(),
+                   F.pmod(F.xxhash64("a_id"), F.lit(n_salt))).otherwise(F.lit(0)),
+        ).drop("_hot")
+        bc = bc.join(hot, "_cell", "left").withColumn(
+            "_salt",
+            F.explode(
+                F.when(F.col("_hot").isNotNull(),
+                       F.sequence(F.lit(0), F.lit(n_salt - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("_hot")
+        j = ac.join(bc, ["_cell", "_salt"]).drop("_salt")
+    else:
+        j = ac.join(bc, "_cell")
     rx = F.greatest(F.col("axmin"), F.col("bxmin"))
     ry = F.greatest(F.col("aymin"), F.col("bymin"))
     j = j.filter(

@@ -79,80 +79,162 @@ def v201_duplicated(arcs: DataFrame, id_col: str = "segment_id",
 
 
 # ---------------------------------------------------------------- pairwise prefilter
-def _arc_pair_candidates(arcs: DataFrame, res: int, id_col: str, vertices: str) -> DataFrame:
-    """Candidate arc pairs by bbox-cell intersection (a_id < b_id once),
-    carrying both vertex arrays for the refine kernel."""
+def _arc_pair_candidates(arcs: DataFrame, res: int, id_col: str, vertices: str,
+                         with_checksum: bool = False,
+                         salt_hot: tuple[int, int] | None = None) -> DataFrame:
+    """Candidate arc pairs by bbox-cell intersection (a_id < b_id once).
+
+    COLUMN-PRUNED: the cell self-join ships only (id, n_vertices,
+    endpoints, bbox) — never the vertex arrays. At dense cells the
+    candidate count dwarfs the arc count, so attaching arrays to
+    candidates multiplies shuffle bytes by the mean vertex size (the
+    round-2 hotspot). Single-segment arcs — the overwhelming majority of
+    a noded network — are FULLY described by their endpoint columns, so
+    most pairs never need an array at all; `_refine_pairs` joins arrays
+    back by id only for pairs involving a multi-vertex arc.
+
+    ``with_checksum`` rides the geometry checksum along each side (v202's
+    equality exclusion) — one extra column through the join beats two
+    whole-candidate-set shuffles joining checksums back by id."""
     v = F.col(vertices)
-    boxed = arcs.select(
+    first, last = F.element_at(v, 1), F.element_at(v, -1)
+    cols = [
         F.col(id_col).alias("a_id"),
-        v.alias("averts"),
+        F.size(v).alias("anv"),
+        F.element_at(first, 1).alias("ax1"), F.element_at(first, 2).alias("ay1"),
+        F.element_at(last, 1).alias("ax2"), F.element_at(last, 2).alias("ay2"),
         GX.bbox(v).alias("_bb"),
-    ).select(
-        "a_id", "averts",
+    ]
+    out_cols = ["a_id", "anv", "ax1", "ay1", "ax2", "ay2"]
+    if with_checksum:
+        cols.append(GX.geom_checksum(v).alias("ack"))
+        out_cols.append("ack")
+    slim = arcs.select(*cols).select(
+        *out_cols,
         F.col("_bb.xmin").alias("axmin"), F.col("_bb.ymin").alias("aymin"),
         F.col("_bb.xmax").alias("axmax"), F.col("_bb.ymax").alias("aymax"),
     )
-    other = (
-        boxed.select(
-            F.col("a_id").alias("b_id"), F.col("averts").alias("bverts"),
-            F.col("axmin").alias("bxmin"), F.col("aymin").alias("bymin"),
-            F.col("axmax").alias("bxmax"), F.col("aymax").alias("bymax"),
-        )
-    )
-    pairs = rect_intersects_join(boxed, other, res=res)
+    renames = [
+        ("a_id", "b_id"), ("anv", "bnv"),
+        ("ax1", "bx1"), ("ay1", "by1"), ("ax2", "bx2"), ("ay2", "by2"),
+        ("axmin", "bxmin"), ("aymin", "bymin"),
+        ("axmax", "bxmax"), ("aymax", "bymax"),
+    ] + ([("ack", "bck")] if with_checksum else [])
+    other = slim.select(*[F.col(a).alias(b) for a, b in renames])
+    pairs = rect_intersects_join(slim, other, res=res, salt_hot=salt_hot)
     return pairs.filter(F.col("a_id") < F.col("b_id"))
 
 
-def _pair_refine(pairs: DataFrame, kernel, out_name: str,
-                 seg_fast=None) -> DataFrame:
-    """Run a numpy pair-kernel over candidate pairs; returns pairs where
-    kernel(a, b) is True. mapInPandas keeps only ids + verdict.
+def _orient_col(ax, ay, bx, by, cx, cy):
+    """Column twin of geomkernel._orient — cross((b-a), (c-a))."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
-    ``seg_fast``: optional VECTORIZED kernel for the 2-vertex x 2-vertex
-    case — (p1, p2, q1, q2) arrays of shape (n, 2) → bool mask. Most of
-    a noded network is single segments, so batching them through one
-    numpy pass instead of a per-pair Python call is the difference
-    between a per-batch loop of thousands and a handful of array ops."""
+
+def _seg_cross_col() -> F.Column:
+    """Pure-Column twin of GK.segments_properly_intersect over candidate
+    endpoint columns (p = a-segment, q = b-segment). Same EPS discipline,
+    same operation order — IEEE-identical to the numpy kernel."""
+    eps = GK.EPS
+    a1x, a1y, a2x, a2y = F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2")
+    b1x, b1y, b2x, b2y = F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")
+    d1 = _orient_col(b1x, b1y, b2x, b2y, a1x, a1y)
+    d2 = _orient_col(b1x, b1y, b2x, b2y, a2x, a2y)
+    d3 = _orient_col(a1x, a1y, a2x, a2y, b1x, b1y)
+    d4 = _orient_col(a1x, a1y, a2x, a2y, b2x, b2y)
+    return (
+        (((d1 > eps) & (d2 < -eps)) | ((d1 < -eps) & (d2 > eps)))
+        & (((d3 > eps) & (d4 < -eps)) | ((d3 < -eps) & (d4 > eps)))
+    )
+
+
+def _seg_overlap_col() -> F.Column:
+    """Pure-Column twin of GK.segments_overlap: collinear with a
+    positive-length shared section (p = a-segment, q = b-segment)."""
+    eps = GK.EPS
+    a1x, a1y, a2x, a2y = F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2")
+    b1x, b1y, b2x, b2y = F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")
+    dx, dy = a2x - a1x, a2y - a1y
+    l1 = F.sqrt(dx * dx + dy * dy)
+    ok = l1 > eps
+    c1 = dx * (b1y - a1y) - dy * (b1x - a1x)
+    c2 = dx * (b2y - a1y) - dy * (b2x - a1x)
+    col = (F.abs(c1) <= eps * l1) & (F.abs(c2) <= eps * l1)
+    l2 = F.when(l1 > 0, l1 * l1).otherwise(F.lit(1.0))
+    t1 = ((b1x - a1x) * dx + (b1y - a1y) * dy) / l2
+    t2 = ((b2x - a1x) * dx + (b2y - a1y) * dy) / l2
+    lo, hi = F.least(t1, t2), F.greatest(t1, t2)
+    return ok & col & (F.least(hi, F.lit(1.0)) - F.greatest(lo, F.lit(0.0)) > eps)
+
+
+def _refine_pairs(cand: DataFrame, arcs: DataFrame, kernel,
+                  seg_fast_col: F.Column, id_col: str,
+                  vertices: str) -> DataFrame:
+    """Split candidate refinement:
+
+    - both arcs single-segment (the bulk of a noded network): the exact
+      predicate is the pure-Column ``seg_fast_col`` over the endpoint
+      columns already on the candidate row — zero Python, zero extra
+      shuffle;
+    - any multi-vertex side: join that side's vertex array back by id
+      (arrays shuffle once per MULTI-VERTEX arc, not once per candidate)
+      and run the general numpy ``kernel`` via mapInPandas; a
+      single-segment side reconstructs its 2-point array from the
+      endpoint columns already on the row.
+
+    ONE linear pipeline — fast hits ride through the same mapInPandas as
+    pass-throughs, so the expensive cell self-join has exactly one
+    consumer (a branch-and-union here would recompute it per branch, or
+    force a persist barrier; both measured slower)."""
+    both_single = (F.col("anv") == 2) & (F.col("bnv") == 2)
+    reduced = cand.filter((both_single & seg_fast_col) | ~both_single).select(
+        "a_id", "b_id", both_single.alias("_fast"),
+        "ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2",
+    )
+    v = F.col(vertices)
+    multi = arcs.filter(F.size(v) > 2)
+    reduced = (
+        reduced.join(multi.select(F.col(id_col).alias("a_id"), v.alias("averts")),
+                     "a_id", "left")
+        .join(multi.select(F.col(id_col).alias("b_id"), v.alias("bverts")),
+              "b_id", "left")
+    )
+
     def refine(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
             hits_a, hits_b = [], []
-            rows = zip(pdf["a_id"], pdf["b_id"], pdf["averts"], pdf["bverts"])
-            if seg_fast is not None:
-                fast_rows, slow_rows = [], []
-                for row in rows:
-                    (fast_rows if len(row[2]) == 2 and len(row[3]) == 2
-                     else slow_rows).append(row)
-                if fast_rows:
-                    p1 = np.array([[*r[2][0]] for r in fast_rows], dtype=np.float64)
-                    p2 = np.array([[*r[2][1]] for r in fast_rows], dtype=np.float64)
-                    q1 = np.array([[*r[3][0]] for r in fast_rows], dtype=np.float64)
-                    q2 = np.array([[*r[3][1]] for r in fast_rows], dtype=np.float64)
-                    mask = seg_fast(p1, p2, q1, q2)
-                    for r, hit in zip(fast_rows, mask):
-                        if hit:
-                            hits_a.append(r[0])
-                            hits_b.append(r[1])
-                rows = slow_rows
-            for aid, bid, av, bv in rows:
-                a = np.asarray([list(p) for p in av], dtype=np.float64)
-                b = np.asarray([list(p) for p in bv], dtype=np.float64)
+            for (aid, bid, fast, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+                 av, bv) in zip(
+                    pdf["a_id"], pdf["b_id"], pdf["_fast"],
+                    pdf["ax1"], pdf["ay1"], pdf["ax2"], pdf["ay2"],
+                    pdf["bx1"], pdf["by1"], pdf["bx2"], pdf["by2"],
+                    pdf["averts"], pdf["bverts"]):
+                if fast:  # pure-Column predicate already verified the hit
+                    hits_a.append(aid)
+                    hits_b.append(bid)
+                    continue
+                a = (np.asarray([list(p) for p in av], dtype=np.float64)
+                     if av is not None
+                     else np.array([[ax1, ay1], [ax2, ay2]], dtype=np.float64))
+                b = (np.asarray([list(p) for p in bv], dtype=np.float64)
+                     if bv is not None
+                     else np.array([[bx1, by1], [bx2, by2]], dtype=np.float64))
                 if kernel(a, b):
                     hits_a.append(aid)
                     hits_b.append(bid)
             if hits_a:
                 yield pd.DataFrame({"a_id": hits_a, "b_id": hits_b})
 
-    return pairs.select("a_id", "b_id", "averts", "bverts").mapInPandas(
-        refine, schema="a_id string, b_id string"
-    )
+    return reduced.mapInPandas(refine, schema="a_id string, b_id string")
 
 
 def _pairs_to_flags(hit_pairs: DataFrame) -> DataFrame:
+    # explode, NOT union-of-two-selects: a union would give the pair
+    # pipeline (cell self-join + kernel refine) TWO consumers and Spark
+    # would recompute it once per branch
     return (
-        hit_pairs.select(F.col("a_id").alias("flagged_id"))
-        .unionAll(hit_pairs.select(F.col("b_id").alias("flagged_id")))
+        hit_pairs.select(F.explode(F.array("a_id", "b_id")).alias("flagged_id"))
         .distinct()
     )
 
@@ -160,39 +242,45 @@ def _pairs_to_flags(hit_pairs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- 202
 def v202_overlap(arcs: DataFrame, res: int = 10, id_col: str = "segment_id",
                  vertices: str = "vertices",
-                 pair_candidates: DataFrame | None = None) -> DataFrame:
+                 pair_candidates: DataFrame | None = None,
+                 salt_hot: tuple[int, int] | None = None) -> DataFrame:
     """Arcs must not overlap (share a collinear positive-length section).
     shapely `overlaps` excludes equal geometries, so checksum-equal pairs
     are removed before the kernel (validate_topology.py:383-392).
     ``pair_candidates`` lets the composed validate_topology() share one
     cached bbox-cell self-join between 202 and 303."""
-    cand = (pair_candidates if pair_candidates is not None
-            else _arc_pair_candidates(arcs, res, id_col, vertices))
-    ck = arcs.select(F.col(id_col), GX.geom_checksum(F.col(vertices)).alias("_ck"))
-    cand = (
-        cand.join(ck.withColumnRenamed(id_col, "a_id").withColumnRenamed("_ck", "_ck_a"), "a_id")
-        .join(ck.withColumnRenamed(id_col, "b_id").withColumnRenamed("_ck", "_ck_b"), "b_id")
-        .filter(F.col("_ck_a") != F.col("_ck_b"))
-    )
-    return _pairs_to_flags(_pair_refine(
-        cand, GK.polylines_overlap, "overlaps",
-        seg_fast=GK.segments_overlap,
+    if pair_candidates is not None and "ack" not in pair_candidates.columns:
+        # shared candidates built without checksums: join them back by id
+        ck = arcs.select(F.col(id_col), GX.geom_checksum(F.col(vertices)).alias("_ck"))
+        cand = (
+            pair_candidates
+            .join(ck.withColumnRenamed(id_col, "a_id").withColumnRenamed("_ck", "ack"), "a_id")
+            .join(ck.withColumnRenamed(id_col, "b_id").withColumnRenamed("_ck", "bck"), "b_id")
+        )
+    else:
+        cand = (pair_candidates if pair_candidates is not None
+                else _arc_pair_candidates(arcs, res, id_col, vertices,
+                                          with_checksum=True, salt_hot=salt_hot))
+    cand = cand.filter(F.col("ack") != F.col("bck"))
+    return _pairs_to_flags(_refine_pairs(
+        cand, arcs, GK.polylines_overlap, _seg_overlap_col(), id_col, vertices,
     ))
 
 
 # ---------------------------------------------------------------- 303
 def v303_crosses(arcs: DataFrame, res: int = 10, id_col: str = "segment_id",
                  vertices: str = "vertices",
-                 pair_candidates: DataFrame | None = None) -> DataFrame:
+                 pair_candidates: DataFrame | None = None,
+                 salt_hot: tuple[int, int] | None = None) -> DataFrame:
     """Arcs must not cross (must be segmented at intersections) —
     validate_topology.py:274-294. For single-segment pairs (no interior
     vertices) shapely `crosses` reduces to the proper-crossing test,
     which vectorizes across the whole Arrow batch."""
     cand = (pair_candidates if pair_candidates is not None
-            else _arc_pair_candidates(arcs, res, id_col, vertices))
-    return _pairs_to_flags(_pair_refine(
-        cand, GK.polylines_cross_shapely, "crosses",
-        seg_fast=GK.segments_properly_intersect,
+            else _arc_pair_candidates(arcs, res, id_col, vertices,
+                                      salt_hot=salt_hot))
+    return _pairs_to_flags(_refine_pairs(
+        cand, arcs, GK.polylines_cross_shapely, _seg_cross_col(), id_col, vertices,
     ))
 
 
@@ -235,12 +323,14 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     within min_dist, subtract arcs sharing ANY vertex-node with the
     deadend arc's endpoints, flag the deadend arc + disconnected arcs."""
     dead = N.deadends(arcs, id_col, vertices).withColumnRenamed(id_col, "src_id")
+    # src_id rides INSIDE the join key struct — no join-back onto `dead`
+    # afterwards (which would re-run the whole deadends lineage a second
+    # time and shuffle 2x ~n rows on string node keys)
     hits = point_to_arc_distance_join(
-        dead.select(F.col("node").alias("p_id"), "x", "y"),
+        dead.select(F.struct("node", "src_id").alias("p_id"), "x", "y"),
         arcs, min_dist, id_col=id_col, vertices=vertices,
         res=res_for_radius(min_dist),
-    ).select(F.col("p_id").alias("node"), F.col(id_col).alias("near_id"))
-    hits = hits.join(dead.select("node", "src_id"), "node")
+    ).select(F.col("p_id.src_id").alias("src_id"), F.col(id_col).alias("near_id"))
     # connected = arcs referencing either endpoint NODE of the source arc
     # (pts_id_lookup over ALL vertices — validate_topology.py:211-215)
     src_end_nodes = (
@@ -261,9 +351,10 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
         .distinct()
         .join(connected, ["src_id", "near_id"], "left_anti")
     )
+    # explode, not union-of-selects — one consumer of the whole distance-
+    # join + anti-join pipeline instead of two full recomputes
     return (
-        disconnected.select(F.col("src_id").alias("flagged_id"))
-        .unionAll(disconnected.select(F.col("near_id").alias("flagged_id")))
+        disconnected.select(F.explode(F.array("src_id", "near_id")).alias("flagged_id"))
         .distinct()
     )
 
@@ -286,10 +377,11 @@ def validate_topology(arcs: DataFrame, codes: list[int] | None = None,
     (validate_topology.py:156-172). ``arcs`` should be standardized first.
 
     202 and 303 accept a shared precomputed ``pair_candidates`` frame,
-    but the composed run does NOT cache one by default: materializing
-    millions of candidate rows that carry BOTH vertex arrays costs more
-    than recomputing the prefilter (measured 2x slower at 500k arcs) —
-    callers with small-vertex networks can opt in explicitly."""
+    but the composed run does NOT cache one by default: candidates are
+    column-pruned (ids + endpoints + bbox, never vertex arrays) and each
+    validation consumes them in ONE linear pipeline, so a persist barrier
+    buys nothing (the round-2 array-carrying variant measured 2x slower
+    when cached; the round-3 slim variant is fastest recomputed)."""
     out = arcs
     arcs = arcs.cache()  # shared normalized projection across 7 validations
     for code in codes or sorted(VALIDATIONS):

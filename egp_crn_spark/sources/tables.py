@@ -79,3 +79,14 @@ def table_exists(spark: SparkSession, path_or_name: str) -> bool:
     if _ICEBERG:  # pragma: no cover
         return spark.catalog.tableExists(path_or_name)
     return os.path.isdir(path_or_name) or os.path.isfile(path_or_name)
+
+
+def drop_table(spark: SparkSession, path_or_name: str) -> None:
+    """Reference GPKG layer delete (helpers.py:63-107 recreates layers by
+    delete-then-create). Idempotent: dropping a missing table is a no-op."""
+    if _ICEBERG:  # pragma: no cover - cluster-only path
+        spark.sql(f"drop table if exists {path_or_name}")
+        return
+    import shutil
+
+    shutil.rmtree(path_or_name, ignore_errors=True)

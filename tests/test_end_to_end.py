@@ -113,6 +113,23 @@ def test_snapshot_seam_and_deltas(spark, network, tmp_path):
     assert list(gone.ngd_uid) == [11]
 
 
+def test_drop_probe_create_roundtrip(spark, network, tmp_path):
+    """S2+S4: existence probe flips across drop → create → drop, and the
+    recreated table reads back exactly (the reference's delete-then-create
+    layer rewrite, helpers.py:63-107)."""
+    from egp_crn_spark.sources.tables import drop_table
+
+    base = str(tmp_path / "tbl")
+    drop_table(spark, base)  # idempotent on a missing table
+    assert not table_exists(spark, base)
+    std = ST.standardize(network)
+    save_table(std, base, range_partition_col="segment_id")
+    assert table_exists(spark, base)
+    assert load_table(spark, base).count() == std.count()
+    drop_table(spark, base)
+    assert not table_exists(spark, base)
+
+
 def test_enforce_suggested_snapping_roundtrip(spark):
     """The human-in-the-loop loop: generate suggestions → approve → apply;
     edge-type application splits the road at the projected point."""
