@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..functions import cells as C
 from ..functions import geomexpr as GX
 from ..functions import geomkernel as GK
-from ..functions.polygonize_kernel import face_checksum, polygonize_vertex_arrays
+from ..functions.polygonize_kernel import face_checksum
 from . import nodes as N
 
 # holes: one FLATTENED ring per element ([x0, y0, x1, y1, ...]) — a
@@ -67,11 +67,15 @@ def polygonize_tiled(
     size = C.cell_size(tile_res)
     buf = max_face_diameter if max_face_diameter is not None else size / 2.0
 
-    bb = GX.bbox(F.col(vertices))
-
     def idx(c, lo):
         return C.idx_of(c + F.lit(lo), tile_res)
 
+    # Vertex arrays ride the tile shuffle whole (measured FASTER than
+    # pre-exploding to flat segment rows on noded networks, where almost
+    # every arc IS one segment — the segment_pairs transform plus an
+    # extra explode cost more JVM time than the nested Arrow transfer
+    # saves); the vectorized kernel flattens them in numpy per tile.
+    bb = GX.bbox(F.col(vertices))
     tiled = (
         arcs.select(F.col(vertices), bb.alias("_bb"))
         .withColumn("_ix", F.explode(F.sequence(idx(F.col("_bb.xmin"), -buf),
@@ -83,7 +87,8 @@ def polygonize_tiled(
     )
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.polygonize_kernel import assign_holes
+        from ..functions.polygonize_kernel import (assign_holes,
+                                                   polygonize_vertex_arrays)
 
         tile = key[0]
         # decode this tile's bounds from its Morton id via the cell of one

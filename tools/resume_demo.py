@@ -46,7 +46,7 @@ from egp_crn_spark.operators.validate import validate_topology  # noqa: E402
 from egp_crn_spark.session import get_session  # noqa: E402
 
 N = int(os.environ.get("SPARK_GRAFT_RESUME_N", "120"))
-TILE_RES = 3
+TILE_RES = 6  # ~36 occupied tiles over the 120x120 world → real partitions
 OUT = os.path.join(REPO, ".data", "resume_demo")
 VCODES = (101, 102, 201, 303)  # row-local + pair validations (fast subset)
 
@@ -94,7 +94,9 @@ def stage_defs(spark, raw):
         return runs[3].output()
 
     def s5_in():
-        return runs[4].output()
+        # polygonize consumes the flagged ARCS (stage 3), not the
+        # metrics table — stages 4 and 5 branch off stage 3
+        return runs[3].output()
 
     def s6_in():
         return runs[5].output()
