@@ -71,6 +71,31 @@ def point_segment_dist2(px: Column, py: Column, ax: Column, ay: Column,
     return (px - cx) * (px - cx) + (py - cy) * (py - cy)
 
 
+def point_near_arc_pairs(
+    points: DataFrame,
+    arcs: DataFrame,
+    radius: float,
+    id_col: str = "segment_id",
+    vertices: str = "vertices",
+    res: int | None = None,
+) -> DataFrame:
+    """RAW (p_id, arc id) candidate pairs within ``radius`` — exact
+    predicate, but MAY repeat a pair (one row per qualifying segment ×
+    cover cell). Existence-only consumers (validation 302's "is anything
+    near?") should use this and fold their own distinct downstream —
+    the min-distance aggregation of point_to_arc_distance_join is a
+    whole extra shuffle they don't need."""
+    res = res if res is not None else C.res_for_radius(radius)
+    segs = _segment_cover_cells(explode_segments(arcs, id_col, vertices), res)
+    ix, iy = C.xy_to_ixy(F.col("x"), F.col("y"), res)
+    pts = points.withColumn("_cell", F.explode(C.kring_cells(ix, iy, res, 1)))
+    d2 = point_segment_dist2(F.col("x"), F.col("y"), F.col("ax"), F.col("ay"),
+                             F.col("bx"), F.col("by"))
+    return pts.join(segs, "_cell").withColumn("_d2", d2).filter(
+        F.col("_d2") <= radius * radius
+    )
+
+
 def point_to_arc_distance_join(
     points: DataFrame,
     arcs: DataFrame,
@@ -85,15 +110,7 @@ def point_to_arc_distance_join(
     Exact (min over the arc's segments); pairs deduped by min-dist
     aggregation, one shuffle each side on the bigint cell.
     """
-    res = res if res is not None else C.res_for_radius(radius)
-    segs = _segment_cover_cells(explode_segments(arcs, id_col, vertices), res)
-    ix, iy = C.xy_to_ixy(F.col("x"), F.col("y"), res)
-    pts = points.withColumn("_cell", F.explode(C.kring_cells(ix, iy, res, 1)))
-    d2 = point_segment_dist2(F.col("x"), F.col("y"), F.col("ax"), F.col("ay"),
-                             F.col("bx"), F.col("by"))
-    cand = pts.join(segs, "_cell").withColumn("_d2", d2).filter(
-        F.col("_d2") <= radius * radius
-    )
+    cand = point_near_arc_pairs(points, arcs, radius, id_col, vertices, res)
     return (
         cand.groupBy("p_id", id_col)
         .agg(F.min("_d2").alias("_d2"), F.first("x").alias("x"), F.first("y").alias("y"))

@@ -27,7 +27,7 @@ from ..functions import geomexpr as GX
 from ..functions import geomkernel as GK
 from ..functions.cells import res_for_radius
 from . import nodes as N
-from .distance import point_to_arc_distance_join
+from .distance import point_near_arc_pairs
 from .spatial_join import rect_intersects_join
 
 
@@ -325,8 +325,10 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     dead = N.deadends(arcs, id_col, vertices).withColumnRenamed(id_col, "src_id")
     # src_id rides INSIDE the join key struct — no join-back onto `dead`
     # afterwards (which would re-run the whole deadends lineage a second
-    # time and shuffle 2x ~n rows on string node keys)
-    hits = point_to_arc_distance_join(
+    # time and shuffle 2x ~n rows on string node keys). Existence is all
+    # 302 needs, so raw candidate pairs feed the distinct below directly
+    # — the min-distance aggregation would be a wasted extra shuffle.
+    hits = point_near_arc_pairs(
         dead.select(F.struct("node", "src_id").alias("p_id"), "x", "y"),
         arcs, min_dist, id_col=id_col, vertices=vertices,
         res=res_for_radius(min_dist),
@@ -382,11 +384,20 @@ def validate_topology(arcs: DataFrame, codes: list[int] | None = None,
     validation consumes them in ONE linear pipeline, so a persist barrier
     buys nothing (the round-2 array-carrying variant measured 2x slower
     when cached; the round-3 slim variant is fastest recomputed)."""
-    out = arcs
     arcs = arcs.cache()  # shared normalized projection across 7 validations
-    for code in codes or sorted(VALIDATIONS):
-        flagged = VALIDATIONS[code](arcs).withColumn(f"v{code}", F.lit(1))
-        out = out.join(
-            flagged.withColumnRenamed("flagged_id", id_col), id_col, "left"
-        ).fillna({f"v{code}": 0})
-    return out
+    codes = codes or sorted(VALIDATIONS)
+    # ONE pivot join, not 7 chained left-joins: flag sets are tiny, so
+    # union them with their code, pivot to v<code> columns in one
+    # aggregation, and join arcs once — the chained form stacked 7
+    # sort-merge joins of the full arc set into a single action
+    flags = None
+    for code in codes:
+        f = VALIDATIONS[code](arcs).select(
+            F.col("flagged_id").alias(id_col), F.lit(code).alias("_code"))
+        flags = f if flags is None else flags.unionByName(f)
+    pivoted = flags.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("_code") == c, 1).otherwise(0)).alias(f"v{c}")
+          for c in codes]
+    )
+    return arcs.join(pivoted, id_col, "left").fillna(
+        {f"v{c}": 0 for c in codes})
