@@ -159,6 +159,13 @@ def main() -> None:
         docs(), num_hashes=8, bands=4, threshold=0.5, use_md5=False))
     run("simhash_xx", lambda: dedup_simhash(docs(), max_hamming=3))
 
+    # image-payload near-dup on the REAL phash column of the synthetic
+    # images table (clustered urban phashes exercise the bucket cap)
+    from egp_crn_spark.operators.images import phash_near_dup
+
+    run("phash_near_dup", lambda: phash_near_dup(
+        spark.read.parquet(img_path), max_hamming=2, max_bucket=200))
+
     total = round(sum(timings.values()), 3)
     spatial_rows = n_images  # rows pushed through tile assignment + PIP
     print(json.dumps({

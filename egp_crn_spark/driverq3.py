@@ -183,8 +183,55 @@ SQL_TABLE_ROUNDTRIP = f"""
 """
 
 
+# ---------------------------------------------------------------- phash dedup
+_PH_M1, _PH_M2, _PH_P = 2654435761, 2246822519, 2147483647
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image-payload near-dup by perceptual-hash hamming distance
+    (operators/images.phash_near_dup). Synthetic 64-bit phashes derive
+    from event keys with arithmetic both engines evaluate identically
+    (two 31-bit multiplicative halves — no 64-bit overflow anywhere);
+    every base image gets a planted partner one bit-flip away."""
+    from .operators.images import phash_near_dup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    hi = (F.col("event_id") * _PH_M1) % _PH_P
+    lo = (F.col("event_id") * _PH_M2) % _PH_P
+    ph = (hi * F.lit(2147483648) + lo).cast("long")
+    bit = F.expr("shiftleft(cast(1 as bigint), cast(event_id % 7 as int))")
+    rows = ev.select(
+        F.explode(F.array(
+            F.struct(F.concat(F.lit("o"), F.col("event_id")).alias("image_id"),
+                     ph.alias("phash")),
+            F.struct(F.concat(F.lit("d"), F.col("event_id")).alias("image_id"),
+                     ph.bitwiseXOR(bit).alias("phash")),
+        )).alias("r")
+    ).select("r.image_id", "r.phash")
+    return phash_near_dup(rows, max_hamming=3)
+
+
+SQL_PHASH_NEAR_DUP = f"""
+  with base as (
+    select event_id,
+           ((event_id * {_PH_M1}) % {_PH_P}) * 2147483648
+           + ((event_id * {_PH_M2}) % {_PH_P}) as ph
+    from events where event_id % 4 = 0),
+  rows_ as (
+    select 'o' || event_id as image_id, ph as phash from base
+    union all
+    select 'd' || event_id, xor(ph, 1::bigint << cast(event_id % 7 as int))
+    from base)
+  select a.image_id as a_id, b.image_id as b_id,
+         cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+  from rows_ a join rows_ b on a.image_id < b.image_id
+  where bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 QUERIES3 = {
     "neighbour_review": (q_neighbour_review, SQL_NEIGHBOUR_REVIEW),
     "conform_source": (q_conform_source, SQL_CONFORM_SOURCE),
     "table_roundtrip": (q_table_roundtrip, SQL_TABLE_ROUNDTRIP),
+    "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
 }

@@ -301,24 +301,25 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return df.select(id_col).join(sig, id_col, "left").fillna({"sh": 0})
 
 
-def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, max_bucket: int = 1000,
-                  use_md5: bool = False) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
-    via (max_hamming + 1) bit-band buckets — pigeonhole: any pair within
-    max_hamming leaves >= 1 band untouched, so candidate recall is
-    GUARANTEED for the requested threshold (not just <= 3 as the old
-    fixed 4x16 banding did). Verification via bit_count(xor).
+def hamming_near_pairs(sig: DataFrame, sig_col: str, id_col: str,
+                       max_hamming: int = 3,
+                       max_bucket: int = 1000) -> DataFrame:
+    """All (a_id, b_id, hamming) pairs of 64-bit signatures within
+    ``max_hamming``. Candidates via (max_hamming + 1) bit-band buckets —
+    pigeonhole: any pair within max_hamming leaves >= 1 band untouched,
+    so candidate recall is GUARANTEED for the requested threshold.
+    Verification via bit_count(xor). The shared core behind simhash
+    near-dup (text) and phash near-dup (images).
 
     Caveat: more bands = narrower buckets = more collisions; beyond
     max_hamming ~ 7 the 64/(h+1)-bit buckets become dense and the
     bucket-size cap (skew guard) starts dropping genuine clusters — keep
-    thresholds small, as near-dup simhash use does."""
+    thresholds small, as near-dup use does."""
     n_bands = max(max_hamming + 1, 2)
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sig = simhash_signatures(_ensure_parallelism(df), text_col, id_col, use_md5=use_md5)
+    sig = sig.select(id_col, F.col(sig_col).alias("sh"))
     banded = sig.select(
         id_col, "sh",
         F.explode(
@@ -345,6 +346,15 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return pairs.select("a_id", "b_id", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     ).distinct()
+
+
+def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, max_bucket: int = 1000,
+                  use_md5: bool = False) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming (see
+    hamming_near_pairs for the banding guarantee)."""
+    sig = simhash_signatures(_ensure_parallelism(df), text_col, id_col, use_md5=use_md5)
+    return hamming_near_pairs(sig, "sh", id_col, max_hamming, max_bucket)
 
 
 # ---------------------------------------------------------------- embedding cosine

@@ -135,3 +135,24 @@ def tile_roundtrip_report(images: DataFrame, tile_res: int = 4,
     return tiled.groupBy("tile").applyInPandas(
         per_tile, schema="tile long, n_images long, n_ok long, n_fail long, min_psnr double"
     )
+
+
+def phash_near_dup(images: DataFrame, phash_col: str = "phash",
+                   id_col: str = "image_id", max_hamming: int = 3,
+                   max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance —
+    the image-payload twin of text simhash dedup: the input table
+    already carries a 64-bit phash per image (BASELINE.json input_hint
+    schema), so candidate generation is the banded pigeonhole bucket
+    join and verification is bit_count(xor), all JVM-side Column algebra
+    (operators/dedup.hamming_near_pairs). Returns (a_id, b_id, hamming).
+
+    At 10^12 images the banding is what makes this tractable: buckets
+    are 64/(max_hamming+1)-bit prefixes, the join keys on (band, bucket)
+    bigints, and the measured bucket cap drops degenerate mega-buckets
+    (e.g. solid-color images hashing identically) with an audit path —
+    never an all-pairs comparison."""
+    from .dedup import hamming_near_pairs
+
+    sig = images.select(F.col(id_col), F.col(phash_col).cast("long").alias("sh"))
+    return hamming_near_pairs(sig, "sh", id_col, max_hamming, max_bucket)

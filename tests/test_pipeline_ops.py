@@ -351,3 +351,55 @@ def test_ivf_build_probe_reuse(spark, embeddings):
         key = ["q_id", "n_id", "rank"]
         assert sorted(map(tuple, got[key].values.tolist())) == \
                sorted(map(tuple, want[key].values.tolist()))
+
+
+def test_phash_near_dup_planted(spark):
+    """Planted phash families: exact recall at the requested hamming
+    threshold, no pairs beyond it, bucket cap drops a degenerate
+    mega-cluster (solid-color images hashing identically)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from egp_crn_spark.operators.images import phash_near_dup
+
+    base = 0x0123456789ABCDEF
+    rows = [("a0", base)]
+    # partners at hamming 1..5 (flip k distinct bits)
+    for k in (1, 2, 3, 4, 5):
+        ph = base
+        for b in range(k):
+            ph ^= 1 << (b * 11)
+        rows.append((f"h{k}", ph))
+    # unrelated far value
+    rows.append(("far", -0x7E57AB1E5))
+    # degenerate cluster: 50 identical phashes (cap must drop them)
+    rows += [(f"dup{i}", 42) for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+
+    got = phash_near_dup(df, max_hamming=3, max_bucket=10).toPandas()
+    pairs = {(r.a_id, r.b_id): r.hamming for r in got.itertuples()}
+    # exact ground truth: every family pair within hamming 3 (note h1-h4
+    # are 3 apart — shared flips cancel in the xor), nothing else
+    fam = {"a0": base}
+    for k in (1, 2, 3, 4, 5):
+        ph = base
+        for b in range(k):
+            ph ^= 1 << (b * 11)
+        fam[f"h{k}"] = ph
+    want = {}
+    names = sorted(fam)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            h = bin(fam[a] ^ fam[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert pairs == want
+    assert ("a0", "h3") in pairs and pairs[("a0", "h3")] == 3
+    assert not any("far" in p for p in pairs)
+    # capped mega-cluster contributes nothing (audit would surface it)
+    assert not any(a.startswith("dup") for a, _ in pairs)
+
+    # recall guarantee without the cap: all 50 identical dups pair up
+    full = phash_near_dup(df.filter(F.col("image_id").startswith("dup")),
+                          max_hamming=0, max_bucket=1000)
+    assert full.count() == 50 * 49 // 2
