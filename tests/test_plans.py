@@ -95,3 +95,26 @@ def test_mb_v201_is_distributed(spark):
     assert (re.search(r"hashpartitioning\([^)]*_cell#\d+", p)
             or re.search(r"(?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)\s*\[?[^\]]*_cell#\d+", p)), \
         f"candidates must come from a cell equi-join:\n{p[:2000]}"
+
+
+def test_partitioned_write_prunes_on_tile_predicate(spark, tmp_path):
+    """The lineage/checkpoint output layout (parquet partitioned by
+    cell_id — the Iceberg partition-transform stand-in) must let a tile
+    predicate prune partitions at the SCAN: the plan's PartitionFilters
+    carries the cell_id predicate and no other partition is read."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from egp_crn_spark.operators.lineage import CheckpointedRun
+
+    run = CheckpointedRun(spark, str(tmp_path / "ckpt"))
+    df = spark.createDataFrame(pd.DataFrame({
+        "cell_id": [1, 1, 2, 2, 3], "v": [10, 11, 20, 21, 30]}))
+    run.commit(df)
+    out = run.output().filter(F.col("cell_id") == 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the predicate reached the partition filter, not a post-scan Filter
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "cell_id" in pf and "2" in pf
+    assert out.count() == 2
