@@ -50,7 +50,8 @@ def suggested_snapping(arcs: DataFrame, radius: float = SUGGEST_RADIUS,
                        vertices: str = "vertices") -> DataFrame:
     """(snapping_type, from_x, from_y, to_x, to_y, valid=0)."""
     roads = arcs.filter(F.col("segment_type") == 1)
-    bo = unintegrated_bo_nodes(arcs, id_col, vertices)
+    # persisted: feeds both the node-hit and the road-hit distance joins
+    bo = unintegrated_bo_nodes(arcs, id_col, vertices).persist()
 
     road_nodes = (
         N.endpoint_nodes(roads, id_col, vertices).select("node", "x", "y").distinct()
@@ -63,11 +64,15 @@ def suggested_snapping(arcs: DataFrame, radius: float = SUGGEST_RADIUS,
                           F.col("y").alias("ry")),
         radius,
     )
+    # persisted: BOTH output branches consume this frame (node
+    # suggestions directly; edge suggestions anti-join it) — without a
+    # materialization point the whole BO + distance-join lineage would
+    # recompute once per branch. One row per unintegrated BO node: tiny.
     node_hit_counts = node_hits.groupBy("l_id").agg(
         F.count("*").alias("n_nodes"),
         F.first("lx").alias("from_x"), F.first("ly").alias("from_y"),
         F.min(F.struct("dist", "r_id", "rx", "ry")).alias("best"),
-    )
+    ).persist()
     node_suggestions = node_hit_counts.filter("n_nodes = 1").select(
         F.lit("node").alias("snapping_type"),
         "from_x", "from_y",

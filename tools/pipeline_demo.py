@@ -234,6 +234,11 @@ roads + BO stubs), each stage consuming the previous stage's output.
 
 **Total {total} s — all stage checks {'PASS' if ok else 'FAIL'}.**
 
+Timing caveat: single-run wall clocks on this shared VM vary ~±30%
+between time windows (host steal); stage-to-stage RATIOS within one run
+are meaningful, cross-round absolute comparisons should lean on
+bench.py's min-over-trials numbers.
+
 Notes: the snapped stubs start ON shared face-corner nodes after
 snapping, so meshblock 201 exercises the boundary-inclusive `within`
 (each stub is within exactly ONE face despite touching four). Every
