@@ -14,7 +14,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from egp_crn_spark.config import EXTENT, MAX_RES
-from egp_crn_spark.functions import cells as C
+from egp_crn_spark.functions import cells as morton_cells
+from egp_crn_spark.functions import cells_rowmajor
+
+
+@pytest.fixture(scope="module", params=["morton", "rowmajor"])
+def C(request):
+    """Both backends must satisfy every axiom here — the row-major
+    module exists precisely to prove the operators' contract does not
+    depend on Z-order bit structure (h3 swap-readiness)."""
+    return morton_cells if request.param == "morton" else cells_rowmajor
 
 
 @pytest.fixture(scope="module")
@@ -32,7 +41,7 @@ def pts(spark):
     return spark.createDataFrame(pd.concat([pdf, edge], ignore_index=True))
 
 
-def test_parent_containment(pts):
+def test_parent_containment(pts, C):
     """cell_of_xy at a coarse res == parent of cell_of_xy at a fine res —
     the hierarchy axiom behind compact/uncompact and tile rollups."""
     for fine, coarse in [(10, 4), (12, 10), (8, 0)]:
@@ -43,7 +52,7 @@ def test_parent_containment(pts):
         assert bad == 0, (fine, coarse)
 
 
-def test_res_encoded_and_disjoint(pts):
+def test_res_encoded_and_disjoint(pts, C):
     """Cell ids at different resolutions never collide (res is part of
     the id) — multi-resolution cell sets can share one column."""
     a = {r["c"] for r in pts.select(C.cell_of_xy(F.col("x"), F.col("y"), 7).alias("c")).collect()}
@@ -51,7 +60,7 @@ def test_res_encoded_and_disjoint(pts):
     assert not (a & b)
 
 
-def test_kring_contains_own_cell_and_neighbours(spark):
+def test_kring_contains_own_cell_and_neighbours(spark, C):
     """k-ring(1) of an interior cell = its 3x3 neighbourhood, includes
     itself; domain corners clamp to the 2x2 quadrant."""
     df = spark.createDataFrame(
@@ -68,7 +77,7 @@ def test_kring_contains_own_cell_and_neighbours(spark):
     assert len(set(interior["ring"])) == 9  # all distinct
 
 
-def test_res_for_radius_covers(spark):
+def test_res_for_radius_covers(spark, C):
     """THE coverage invariant: two points within `radius` of each other
     share >= 1 cell between one side's k-ring(1) and the other side's
     own cell, at res_for_radius(radius)."""
@@ -97,7 +106,7 @@ def test_res_for_radius_covers(spark):
     assert missed == 0
 
 
-def test_three_renderers_agree(pts):
+def test_three_renderers_agree(pts, C):
     """Column, numpy, and SQL emitters are ONE algorithm: identical ids
     for identical inputs at several resolutions."""
     pdf = pts.toPandas()
@@ -113,7 +122,7 @@ def test_three_renderers_agree(pts):
         np.testing.assert_array_equal(got_col, got_sql.astype(np.int64))
 
 
-def test_idx_of_matches_cell_of_xy(pts):
+def test_idx_of_matches_cell_of_xy(pts, C):
     """idx_of is the axis projection of cell_of_xy — cover-cell explosion
     built from it lands geometry in the same cells points land in."""
     res = 9
@@ -127,7 +136,9 @@ def test_idx_of_matches_cell_of_xy(pts):
 
 def test_compact_uncompact_roundtrip(spark):
     """compact → uncompact reproduces exactly the original fine cell set
-    (H3 compact_cells/uncompact_cells semantics)."""
+    (H3 compact_cells/uncompact_cells semantics). Morton-backend only:
+    cellsets' parent expression is bit arithmetic on Z-order ids."""
+    C = morton_cells
     from egp_crn_spark.operators.cellsets import compact_cells, uncompact_cells
 
     rng = np.random.default_rng(3)
