@@ -336,16 +336,20 @@ def hamming_near_pairs(sig: DataFrame, sig_col: str, id_col: str,
     banded = banded.join(ok, ["band", "bucket"], "left_semi")
     a = banded.select(F.col(id_col).alias("a_id"), F.col("sh").alias("sha"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b_id"), F.col("sh").alias("shb"), "band", "bucket")
-    pairs = (
+    # hamming is computed and thresholded INSIDE the join stage (fused into
+    # the same codegen span), so the dedup distinct shuffles only
+    # (a_id, b_id, hamming) — carrying sha/shb through the distinct would
+    # widen the exchange with columns functionally determined by the ids,
+    # and deferring the threshold would shuffle candidates that can never
+    # survive it.
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sha", "shb")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    return pairs.select("a_id", "b_id", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    ).distinct()
 
 
 def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -165,7 +165,31 @@ def knn_join(
     """
     if not np.isfinite(max_distance):
         raise ValueError("knn_join requires a finite max_distance (cell prefilter bound)")
-    cand = distance_join(left, right, max_distance, res=res)
+    res = res if res is not None else C.res_for_radius(max_distance)
+    lix, liy = C.xy_to_ixy(F.col("lx"), F.col("ly"), res)
+    lc = left.withColumn("_cell", F.explode(C.kring_cells(lix, liy, res, 1)))
+    rc = right.withColumn("_cell", C.cell_of_xy(F.col("rx"), F.col("ry"), res))
+    dist = F.sqrt(
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    cand = (
+        lc.join(rc, "_cell").withColumn("dist", dist)
+        .filter(F.col("dist") <= max_distance)
+    )
+    # two-phase top-k: partial rank per (l_id, _cell) BEFORE the global
+    # per-l_id window. The join output is hash-partitioned on _cell, which
+    # already satisfies the (l_id, _cell) clustering, so this phase adds a
+    # partition-local sort and ZERO exchanges — but caps the global
+    # window's input at 9k rows per left point instead of every candidate
+    # in a dense k-ring (the skew case: urban cells with thousands of
+    # right points per cell).
+    wp = Window.partitionBy("l_id", "_cell").orderBy(F.col("dist").asc(), F.col("r_id").asc())
+    cand = (
+        cand.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_cell")
+    )
     w = Window.partitionBy("l_id").orderBy(F.col("dist").asc(), F.col("r_id").asc())
     return cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
 
