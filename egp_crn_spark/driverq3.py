@@ -144,15 +144,27 @@ def q_table_roundtrip(spark, sf_dir):
     save_table(v1, base, range_partition_col="bucket", snapshot="v1")  # S3+S5
     save_table(o, base, range_partition_col="bucket", snapshot="v2")
     assert table_exists(spark, base)              # S2 probe: present
-    spark.sql(f"drop table if exists {bucketed_name}")
     # a FRESH session's catalog doesn't know a previous run's managed
     # table, so DROP alone leaves its warehouse directory behind and the
-    # re-create fails with LOCATION_ALREADY_EXISTS — clear it physically
+    # re-create fails with LOCATION_ALREADY_EXISTS. Resolve the REAL
+    # location from the catalog when the table is known (no assumptions
+    # about database, case folding or URI scheme), falling back to the
+    # default-layout path only for the orphaned-directory case.
     import shutil
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, bucketed_name.lower()), ignore_errors=True)
+    loc = None
+    if spark.catalog.tableExists(bucketed_name):
+        desc = spark.sql(f"describe extended {bucketed_name}").collect()
+        loc = next((r.data_type for r in desc if r.col_name == "Location"), None)
+    spark.sql(f"drop table if exists {bucketed_name}")
+    if loc is None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, bucketed_name.lower())
+    else:
+        loc = urlparse(loc).path or loc
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     save_bucketed_table(o, bucketed_name, "bucket", num_buckets=8,
                         sort_col="o_orderkey")    # S5 bucketed sink
 

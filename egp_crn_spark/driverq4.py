@@ -823,6 +823,112 @@ def _standardize_sql() -> str:
 SQL_STANDARDIZE_ARCS = _standardize_sql()
 
 
+# ------------------------------------------------ meshblock progress (composed)
+# The composed meshblock stage's progress tracker (validate_meshblock:
+# polygonize → v101/v201/v202 flags → v102 missing-BO → the reference's
+# Valid / Invalid / Invalid (Missing BO) / Excluded counts,
+# validate_meshblock.py:227-254). Input: an 8x8 grid network (all cells
+# polygonize to faces) plus one isolated stub per cell class
+# cls=(bi+bj)%4 — cls 0: interior road deadend (within exactly one face →
+# v201 passes → Excluded); cls 1: deadend crossing a face boundary (within
+# no single face → v201 flags → Invalid); cls 2: interior BO deadend
+# (passes v201, off-boundary → v202 flags → Invalid); cls 3: no stub.
+# Grid arcs (some typed BO — their segments lie on face rings, so v202
+# passes) are all Valid. The class layout keeps stubs of adjacent cells
+# disjoint (same class is never edge-adjacent: cls changes by 1 per step), so no
+# stub chains into the network and every stub stays a deadend.
+_MP_G = 8
+_MP_C = 10.0
+_MP_O = 30000.0
+
+
+def _mp_arcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    c, o = _MP_C, _MP_O
+    lines = p.filter(F.col("p_partkey") <= _MP_G).select(
+        F.col("p_partkey").cast("int").alias("i0"),
+        F.explode(F.sequence(F.lit(0), F.lit(_MP_G - 1))).alias("j"),
+    )
+    fi, fj = F.col("i0").cast("double"), F.col("j").cast("double")
+    uid = F.col("i0") * _MP_G + F.col("j")
+    vert = lines.select(
+        F.concat_ws("-", F.lit("v"), "i0", "j").alias("segment_id"),
+        F.array(F.array(fi * c + o, fj * c + o),
+                F.array(fi * c + o, (fj + 1) * c + o)).alias("vertices"),
+        F.when(F.col("i0") % 2 == 0, 2).otherwise(1).alias("segment_type"),
+        F.lit(0).alias("bo_new"),
+        (uid + 1000).cast("int").alias("ngd_uid"),
+    )
+    horiz = lines.select(
+        F.concat_ws("-", F.lit("h"), "i0", "j").alias("segment_id"),
+        F.array(F.array(fj * c + o, fi * c + o),
+                F.array((fj + 1) * c + o, fi * c + o)).alias("vertices"),
+        F.when(F.col("i0") % 3 == 0, 2).otherwise(1).alias("segment_type"),
+        F.lit(0).alias("bo_new"),
+        (uid + 2000).cast("int").alias("ngd_uid"),
+    )
+    cells = p.filter(F.col("p_partkey") <= _MP_G - 1).select(
+        F.col("p_partkey").cast("int").alias("bi"),
+        F.explode(F.sequence(F.lit(0), F.lit(_MP_G - 1))).alias("bj"),
+    )
+    cls = (F.col("bi") + F.col("bj")) % 4
+    x0 = F.col("bi").cast("double") * c + o
+    y0 = F.col("bj").cast("double") * c + o
+    stubs = cells.filter(cls != 3).select(
+        F.concat_ws("-", F.lit("s"), "bi", "bj").alias("segment_id"),
+        F.when(cls == 0, F.array(F.array(x0 + 2.0, y0 + 2.0),
+                                 F.array(x0 + 6.0, y0 + 6.0)))
+        .when(cls == 1, F.array(F.array(x0 + 5.0, y0 + 1.0),
+                                F.array(x0 + 15.0, y0 + 1.0)))
+        .otherwise(F.array(F.array(x0 + 3.0, y0 + 7.0),
+                           F.array(x0 + 7.0, y0 + 3.0))).alias("vertices"),
+        F.when(cls == 2, 2).otherwise(1).alias("segment_type"),
+        F.lit(0).alias("bo_new"),
+        (F.col("bi") * _MP_G + F.col("bj") + 3000).cast("int").alias("ngd_uid"),
+    )
+    return vert.unionByName(horiz).unionByName(stubs)
+
+
+def _mp_restore(spark, sf_dir):
+    """Restore snapshot for the missing-BO check: BO rows (r even) whose
+    uid is present in the working arcs iff r % 3 == 0."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") >= 1) & (F.col("p_partkey") <= 30))
+    r = F.col("p_partkey").cast("int")
+    return p.select(
+        F.when(r % 2 == 0, 2).otherwise(1).alias("segment_type"),
+        F.when(r % 3 == 0, r + 1000).otherwise(r + 9000).cast("int").alias("ngd_uid"),
+    )
+
+
+def q_meshblock_progress(spark, sf_dir):
+    from .operators.meshblock import validate_meshblock
+
+    _, _, progress = validate_meshblock(
+        _mp_arcs(spark, sf_dir), _mp_restore(spark, sf_dir), tile_res=4)
+    return progress
+
+
+SQL_MESHBLOCK_PROGRESS = f"""
+  with lines as (select p_partkey as i0, unnest(range(0, {_MP_G})) as j
+                 from part where p_partkey <= {_MP_G}),
+  grid as (select 2 * count(*) as n_grid from lines),
+  cells as (select p_partkey as bi, unnest(range(0, {_MP_G})) as bj
+            from part where p_partkey <= {_MP_G} - 1),
+  stubs as (select
+      sum(case when (bi + bj) % 4 = 0 then 1 else 0 end) as n_excluded,
+      sum(case when (bi + bj) % 4 in (1, 2) then 1 else 0 end) as n_invalid
+    from cells),
+  miss as (select count(*) as n_miss from part
+           where p_partkey between 1 and 30
+             and p_partkey % 2 = 0 and p_partkey % 3 != 0)
+  select 'Valid' as status, cast(n_grid as bigint) as count from grid
+  union all select 'Invalid', cast(n_invalid as bigint) from stubs
+  union all select 'Invalid (Missing BO)', cast(n_miss as bigint) from miss
+  union all select 'Excluded', cast(n_excluded as bigint) from stubs
+"""
+
+
 QUERIES4 = {
     "v101_simple": (q_v101_simple, SQL_V101),
     "v102_cluster_tol": (q_v102_cluster_tol, SQL_V102),
@@ -837,4 +943,5 @@ QUERIES4 = {
     "restore_modified": (q_restore_modified, SQL_RESTORE_MODIFIED),
     "dissolve_blocks": (q_dissolve_blocks, SQL_DISSOLVE_BLOCKS),
     "standardize_arcs": (q_standardize_arcs, SQL_STANDARDIZE_ARCS),
+    "meshblock_progress": (q_meshblock_progress, SQL_MESHBLOCK_PROGRESS),
 }

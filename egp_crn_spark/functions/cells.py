@@ -129,6 +129,14 @@ def kring_cells(ix: Column, iy: Column, res: int, k: int = 1) -> Column:
     return F.array_compact(F.array(*cols))
 
 
+def kring_of_xy(x: Column, y: Column, res: int, k: int = 1) -> Column:
+    """k-ring of the cell containing (x, y) — the backend-agnostic POINT
+    form of kring_cells (the h3 twin is grid_disk(latlng_to_cell(...));
+    ix/iy are square-backend internals that h3 has no analogue of)."""
+    ix, iy = xy_to_ixy(x, y, res)
+    return kring_cells(ix, iy, res, k)
+
+
 # ---------------------------------------------------------------- SQL emitters
 def _spread_bits_sql(e: str) -> str:
     e = f"({e} & 65535)"

@@ -1,0 +1,123 @@
+"""Real-H3 cell backend — importable only where the ``h3`` library exists.
+
+This is the production twin promised by the cells.py backend seam: the
+engine's operators reach cell geometry only through the point API
+(cell_of_xy / parent_cell / kring_of_xy / res_for_radius / cell_size),
+and tests/test_cells_conformance.py parametrizes the backend-agnostic
+axioms over this module whenever ``import h3`` succeeds (it is skipped,
+not failed, in environments without the lib — the sandbox has none).
+
+Mapping: the engine's planar domain [0, EXTENT)^2 lands on a ~0.5-degree
+equirectangular patch at the equator. Across a patch that small the
+meters-per-unit factor is constant to <0.004%, so planar radii convert
+to meters with one multiplication and the k-ring coverage proofs carry
+over: ``res_for_radius`` picks the finest res whose minimum hexagon
+width (incircle diameter = edge * sqrt(3)) is >= the radius, and exiting
+a cell's 1-ring crosses at least one full neighbour hexagon in its
+thinnest direction — so two points within ``radius`` always share a
+(cell, 1-ring) overlap, the invariant every spatial join here relies on.
+
+Ids are H3 *int* indexes (always positive in int64 — the reserved high
+bit is 0), so joins stay plain bigint equi-joins exactly as with the
+Morton backend. Encoding runs in Arrow-batched pandas UDFs; at 100 TB
+the per-row Python call is the known cost of a library backend (the
+Morton default exists precisely because pure-Column bit arithmetic is
+cheaper), which is why this module is the swap-in, not the default.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+import h3 as _h3  # the import gate: ImportError here = backend unavailable
+
+from ..config import EXTENT
+
+try:  # int-index API (v4: h3.api.basic_int; ids are ints, not hex strings)
+    import h3.api.basic_int as _h3i
+except ImportError:  # pragma: no cover - very old h3-py
+    _h3i = _h3
+
+# v4 / v3 naming shims — one callable per operation, resolved at import
+_latlng_to_cell = getattr(_h3i, "latlng_to_cell", None) or _h3i.geo_to_h3
+_cell_to_parent = getattr(_h3i, "cell_to_parent", None) or _h3i.h3_to_parent
+_grid_disk = getattr(_h3i, "grid_disk", None) or _h3i.k_ring
+_edge_length_m = (
+    (lambda res: _h3.average_hexagon_edge_length(res, unit="m"))
+    if hasattr(_h3, "average_hexagon_edge_length")
+    else (lambda res: _h3.edge_length(res, unit="m"))
+)
+
+MAX_RES = 15
+_SPAN_DEG = 0.5
+_M_PER_DEG = 111_320.0
+M_PER_UNIT = _SPAN_DEG * _M_PER_DEG / EXTENT
+
+
+def _to_latlng(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = (np.asarray(y, dtype=np.float64) / EXTENT - 0.5) * _SPAN_DEG
+    lng = (np.asarray(x, dtype=np.float64) / EXTENT - 0.5) * _SPAN_DEG
+    return lat, lng
+
+
+def cell_size(res: int) -> float:
+    """Minimum hexagon width (incircle diameter = edge * sqrt(3)) at
+    ``res``, in planar units — the quantity the coverage proofs bound."""
+    return _edge_length_m(res) * math.sqrt(3.0) / M_PER_UNIT
+
+
+def res_for_radius(radius: float) -> int:
+    """Finest res whose minimum hexagon width >= radius (see module
+    docstring for why that makes k-ring(1) coverage exact)."""
+    for res in range(MAX_RES, -1, -1):
+        if cell_size(res) >= radius:
+            return res
+    return 0
+
+
+def cell_of_xy(x: Column, y: Column, res: int) -> Column:
+    @F.pandas_udf(LongType())
+    def enc(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        lat, lng = _to_latlng(xs.to_numpy(), ys.to_numpy())
+        return pd.Series(
+            [_latlng_to_cell(la, ln, res) for la, ln in zip(lat, lng)],
+            dtype="int64",
+        )
+
+    return enc(x, y)
+
+
+def parent_cell(cell: Column, res: int, parent_res: int) -> Column:
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+
+    @F.pandas_udf(LongType())
+    def par(cs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_cell_to_parent(int(c), parent_res) for c in cs], dtype="int64"
+        )
+
+    return par(cell)
+
+
+def kring_of_xy(x: Column, y: Column, res: int, k: int = 1) -> Column:
+    """k-ring of the cell containing (x, y) — h3.grid_disk; includes the
+    own cell. No domain clamping: H3 has no grid edge to clamp at."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ring(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        lat, lng = _to_latlng(xs.to_numpy(), ys.to_numpy())
+        return pd.Series(
+            [
+                [int(c) for c in _grid_disk(_latlng_to_cell(la, ln, res), k)]
+                for la, ln in zip(lat, lng)
+            ]
+        )
+
+    return ring(x, y)

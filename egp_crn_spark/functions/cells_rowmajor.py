@@ -48,7 +48,11 @@ def parent_cell(cell: Column, res: int, parent_res: int) -> Column:
     n = 1 << res
     d = res - parent_res
     m = cell.bitwiseAND(F.lit((1 << RES_SHIFT) - 1))
-    ix, iy = F.pmod(m, F.lit(n)), (m / n).cast("long")
+    # exact integer decode: n is a power of two, so iy = m >> res (a
+    # double division would round silently once the payload outgrows the
+    # 53-bit mantissa — invisible at MAX_RES=16 but a trap if RES_SHIFT
+    # ever grows). Matches the bit-level style of the Morton backend.
+    ix, iy = F.pmod(m, F.lit(n)), F.shiftright(m, res)
     return cell_encode(F.shiftright(ix, d), F.shiftright(iy, d), parent_res)
 
 
@@ -61,6 +65,12 @@ def kring_cells(ix: Column, iy: Column, res: int, k: int = 1) -> Column:
             valid = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
             cols.append(F.when(valid, cell_encode(nx.cast("long"), ny.cast("long"), res)))
     return F.array_compact(F.array(*cols))
+
+
+def kring_of_xy(x: Column, y: Column, res: int, k: int = 1) -> Column:
+    """Backend-agnostic point form of kring_cells (see cells.kring_of_xy)."""
+    ix, iy = xy_to_ixy(x, y, res)
+    return kring_cells(ix, iy, res, k)
 
 
 def cell_of_xy_np(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:

@@ -258,7 +258,11 @@ def segments_overlap(p1: np.ndarray, p2: np.ndarray,
     """Vectorized single-segment twin of polylines_overlap: collinear
     with a positive-length shared section. Same EPS discipline."""
     d = p2 - p1
-    L1 = np.hypot(d[:, 0], d[:, 1])
+    # sqrt(dx*dx + dy*dy), NOT np.hypot: the pure-Column fast path
+    # (validate._seg_overlap_col) can only express the sqrt form, and
+    # hypot differs from it by an ulp on some inputs — same-operation-
+    # order parity between the two paths requires the same formula here.
+    L1 = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
     ok = L1 > EPS
     c1 = d[:, 0] * (q1[:, 1] - p1[:, 1]) - d[:, 1] * (q1[:, 0] - p1[:, 0])
     c2 = d[:, 0] * (q2[:, 1] - p1[:, 1]) - d[:, 1] * (q2[:, 0] - p1[:, 0])
@@ -280,7 +284,9 @@ def polylines_overlap(a: np.ndarray, b: np.ndarray) -> bool:
     for i in range(len(a) - 1):
         p1, p2 = a[i], a[i + 1]
         d1 = p2 - p1
-        L1 = np.hypot(*d1)
+        # same sqrt form as segments_overlap / the Column fast path (see
+        # the parity note there) — hypot can differ by an ulp
+        L1 = np.sqrt(d1[0] * d1[0] + d1[1] * d1[1])
         if L1 <= EPS:
             continue
         for j in range(len(b) - 1):

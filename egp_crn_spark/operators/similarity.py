@@ -13,6 +13,7 @@ sample (bounded, seeded).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -97,6 +98,15 @@ def train_centroids(corpus: DataFrame, ncells: int, vec_col: str = "embedding",
     return C
 
 
+# above this cell count the unrolled literal expression (ncells × dim
+# terms) blows up plan size/compile time; the broadcast-matmul kernel
+# takes over. At production IVF scale (ncells 10^4-10^6) the expression
+# form is infeasible outright — the matmul path is the real scale path,
+# the expression path survives only because tiny-ncells oracles want a
+# pure-Column (and hence DuckDB-twin-exact) quantizer.
+_EXPR_NCELLS_MAX = 16
+
+
 def _nearest_centroids_expr(vec, C: np.ndarray, nprobe: int):
     """Array of the nprobe nearest centroid ids — pure Column fold over a
     literal centroid matrix (small: ncells × dim)."""
@@ -114,23 +124,114 @@ def _nearest_centroids_expr(vec, C: np.ndarray, nprobe: int):
     return F.transform(top, lambda s: s["cell"])
 
 
+def _use_expr(method: str, C: np.ndarray) -> bool:
+    if method not in ("auto", "expr", "matmul"):
+        raise ValueError(f"unknown quantizer method {method!r}")
+    return method == "expr" or (method == "auto" and len(C) <= _EXPR_NCELLS_MAX)
+
+
+def _stack(vals) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+
+
+def _assign_matmul(sel: DataFrame, C: np.ndarray) -> DataFrame:
+    """(n_id, cv, cell, _cn) from (n_id, cv): one BLAS X @ C.T per Arrow
+    batch against an executor-broadcast centroid matrix — O(ncells x dim)
+    literals never enter the plan, so ncells 10^4-10^6 costs one matmul,
+    not an expression tree. Tie-break matches the expr path (largest cell
+    id wins on equal sim): argmax over the column-reversed sim matrix."""
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    bc = sel.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(C, dtype=np.float64))
+    schema = StructType([
+        sel.schema["n_id"],
+        StructField("cv", ArrayType(DoubleType()), True),
+        StructField("cell", IntegerType(), False),
+        StructField("_cn", DoubleType(), False),
+    ])
+
+    def gen(it):
+        Cb = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _stack(pdf["cv"])
+            sims = X @ Cb.T
+            cell = (sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1))
+            yield pd.DataFrame({
+                "n_id": pdf["n_id"].to_numpy(),
+                "cv": pdf["cv"],
+                "cell": cell.astype("int32"),
+                "_cn": np.sqrt(np.einsum("ij,ij->i", X, X)),
+            })
+
+    return sel.mapInPandas(gen, schema=schema)
+
+
+def _probe_cells_matmul(sel: DataFrame, C: np.ndarray, nprobe: int) -> DataFrame:
+    """(q_id, qv, _qn, cell) x nprobe from (q_id, qv): top-nprobe cells
+    per query via one matmul per batch. Stable ascending argsort then
+    reverse = sim desc with cell-id-desc tie-break — same order as the
+    expr path's reverse(array_sort(struct(sim, cell)))."""
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    bc = sel.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(C, dtype=np.float64))
+    nprobe = min(nprobe, len(C))
+    schema = StructType([
+        sel.schema["q_id"],
+        StructField("qv", ArrayType(DoubleType()), True),
+        StructField("_qn", DoubleType(), False),
+        StructField("cell", IntegerType(), False),
+    ])
+
+    def gen(it):
+        Cb = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _stack(pdf["qv"])
+            sims = X @ Cb.T
+            top = np.argsort(sims, axis=1, kind="stable")[:, ::-1][:, :nprobe]
+            qn = np.sqrt(np.einsum("ij,ij->i", X, X))
+            idx = np.repeat(np.arange(len(pdf)), nprobe)
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy()[idx],
+                "qv": pdf["qv"].iloc[idx].to_numpy(),
+                "_qn": qn[idx],
+                "cell": top.ravel().astype("int32"),
+            })
+
+    return sel.mapInPandas(gen, schema=schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF INDEX BUILD: assign each corpus vector to its nearest
     centroid — (n_id, cv, cell, _cn). O(corpus x ncells) dot products,
     paid ONCE; persist (or write bucketed by `cell` via
     sources.tables.save_bucketed_table) and serve many query batches
-    from it. Norm precomputed per row (see brute_force_topk)."""
-    cvec = _as_double(vec_col)
-    return _ensure_parallelism(corpus).select(
-        F.col(id_col).alias("n_id"),
-        cvec.alias("cv"),
-        F.element_at(_nearest_centroids_expr(cvec, centroids, 1), 1).alias("cell"),
-    ).withColumn("_cn", _norm(F.col("cv")))
+    from it. Norm precomputed per row (see brute_force_topk).
+
+    method: 'expr' = pure-Column literal fold (tiny ncells; DuckDB-twin
+    exact), 'matmul' = broadcast-centroid BLAS kernel (the scale path),
+    'auto' = expr iff ncells <= _EXPR_NCELLS_MAX."""
+    sel = _ensure_parallelism(corpus).select(
+        F.col(id_col).alias("n_id"), _as_double(vec_col).alias("cv"))
+    if _use_expr(method, centroids):
+        return sel.withColumn(
+            "cell",
+            F.element_at(_nearest_centroids_expr(F.col("cv"), centroids, 1), 1),
+        ).withColumn("_cn", _norm(F.col("cv")))
+    return _assign_matmul(sel, centroids)
 
 
 def ivf_probe(
@@ -139,14 +240,31 @@ def ivf_probe(
     centroids: np.ndarray,
     k: int = 5,
     nprobe: int = 4,
+    method: str = "auto",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF QUERY: probe the nprobe nearest cells per query — a cell
     equi-join against the prebuilt index (same shape as the spatial
-    prefilter), candidates shrink ~ncells/nprobe vs brute force."""
-    probes = queries.select(
-        "q_id", F.col("qv"), _norm(F.col("qv")).alias("_qn"),
-        F.explode(_nearest_centroids_expr(F.col("qv"), centroids, nprobe)).alias("cell"),
-    )
+    prefilter), candidates shrink ~ncells/nprobe vs brute force.
+    ``method`` picks the quantizer form (see ivf_assign).
+
+    ``broadcast_queries`` (default True) hints the probe side into a
+    broadcast join so the corpus index is NEVER shuffled — the serving
+    shape: query batches are interactively small while the index is the
+    10^9+-row side (and may be a bucketed table). This must be an
+    explicit hint because the matmul quantizer emits probes through
+    mapInPandas, whose unknown size statistics otherwise push Catalyst to
+    a sort-merge join that shuffles the whole index. Pass False only for
+    offline mega-batches where the query side rivals the corpus."""
+    if _use_expr(method, centroids):
+        probes = queries.select(
+            "q_id", F.col("qv"), _norm(F.col("qv")).alias("_qn"),
+            F.explode(_nearest_centroids_expr(F.col("qv"), centroids, nprobe)).alias("cell"),
+        )
+    else:
+        probes = _probe_cells_matmul(queries.select("q_id", "qv"), centroids, nprobe)
+    if broadcast_queries:
+        probes = F.broadcast(probes)
     # norms hoisted per row (see brute_force_topk) — bit-identical cosine
     scored = probes.join(index, "cell").filter(F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id",
@@ -169,10 +287,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """One-shot IVF top-k = ivf_assign + ivf_probe. For repeated query
     batches build the index once with ivf_assign and call ivf_probe —
     the assignment is the dominant cost and amortizes across batches."""
     C = centroids if centroids is not None else train_centroids(
         corpus, ncells, vec_col, id_col=id_col)
-    return ivf_probe(queries, ivf_assign(corpus, C, vec_col, id_col), C, k, nprobe)
+    return ivf_probe(queries, ivf_assign(corpus, C, vec_col, id_col, method),
+                     C, k, nprobe, method)

@@ -73,7 +73,12 @@ def rect_intersects_join(
     join tasks instead of one. Pair semantics are unchanged: every pair
     still meets exactly once (in one (cell, salt)). Cold cells pay
     nothing (salt 0 both sides). The hot set is MEASURED (one cheap
-    pre-agg pass), never guessed — operators/skew.py discipline."""
+    pre-agg pass), never guessed — operators/skew.py discipline.
+
+    The threshold applies to A-SIDE cover rows only (for the self-join
+    uses here the two covers are identical, so the measurement is
+    symmetric): for asymmetric inputs pass the skewed side as ``a`` — a
+    cell hot only on the b-side is not salted."""
     ac = _rect_cover_cells(a, "a", res)
     bc = _rect_cover_cells(b, "b", res)
     if broadcast_b:
@@ -157,39 +162,31 @@ def knn_join(
 ) -> DataFrame:
     """k nearest right-points per left-point within max_distance.
 
-    Window-ranked distance over k-ring candidates (BASELINE.json
-    north_star: "kNN via H3 k-ring expansion + window-ranked distance").
+    Ranked distance over k-ring candidates (BASELINE.json north_star:
+    "kNN via H3 k-ring expansion + window-ranked distance"); k=1 — the
+    reference's nearest-with-max-dist semantics — runs as a map-side-
+    combined min_by aggregation instead of a window (see inline note).
     Ties break on r_id so results are deterministic — the reference's
     first-STRtree-hit selection (helpers.py:160-162,395) is
     insertion-order dependent; we pin it (SURVEY.md §7 hard parts).
     """
     if not np.isfinite(max_distance):
         raise ValueError("knn_join requires a finite max_distance (cell prefilter bound)")
-    res = res if res is not None else C.res_for_radius(max_distance)
-    lix, liy = C.xy_to_ixy(F.col("lx"), F.col("ly"), res)
-    lc = left.withColumn("_cell", F.explode(C.kring_cells(lix, liy, res, 1)))
-    rc = right.withColumn("_cell", C.cell_of_xy(F.col("rx"), F.col("ry"), res))
-    dist = F.sqrt(
-        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
-        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
-    )
-    cand = (
-        lc.join(rc, "_cell").withColumn("dist", dist)
-        .filter(F.col("dist") <= max_distance)
-    )
-    # two-phase top-k: partial rank per (l_id, _cell) BEFORE the global
-    # per-l_id window. The join output is hash-partitioned on _cell, which
-    # already satisfies the (l_id, _cell) clustering, so this phase adds a
-    # partition-local sort and ZERO exchanges — but caps the global
-    # window's input at 9k rows per left point instead of every candidate
-    # in a dense k-ring (the skew case: urban cells with thousands of
-    # right points per cell).
-    wp = Window.partitionBy("l_id", "_cell").orderBy(F.col("dist").asc(), F.col("r_id").asc())
-    cand = (
-        cand.withColumn("_pr", F.row_number().over(wp))
-        .filter(F.col("_pr") <= k)
-        .drop("_pr", "_cell")
-    )
+    cand = distance_join(left, right, max_distance, res=res)
+    if k == 1:
+        # nearest-neighbour (the reference's semantics and the hot path):
+        # a min_by AGGREGATION, not a window. HashAggregate combines
+        # partially on the map side with no distribution requirement, so
+        # the single exchange carries at most ONE row per (l_id, map
+        # partition) — immune to dense-cell skew (a window would shuffle
+        # and sort EVERY candidate of a hot k-ring), zero sorts anywhere,
+        # and never more exchanges than the round-3 single-window plan.
+        # struct(dist, r_id) ordering = (dist asc, r_id asc) tie-break,
+        # identical to the window orderBy below.
+        others = [c for c in cand.columns if c != "l_id"]
+        best = cand.groupBy("l_id").agg(
+            F.min_by(F.struct(*others), F.struct("dist", "r_id")).alias("_b"))
+        return best.select("l_id", "_b.*").withColumn("knn_rank", F.lit(1))
     w = Window.partitionBy("l_id").orderBy(F.col("dist").asc(), F.col("r_id").asc())
     return cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
 

@@ -89,4 +89,10 @@ def drop_table(spark: SparkSession, path_or_name: str) -> None:
         return
     import shutil
 
-    shutil.rmtree(path_or_name, ignore_errors=True)
+    # table_exists treats a plain file as an existing table, so drop must
+    # remove that case too — rmtree(ignore_errors) silently no-ops on a
+    # file, which would break the drop→probe idempotence contract
+    if os.path.isfile(path_or_name):
+        os.remove(path_or_name)
+    else:
+        shutil.rmtree(path_or_name, ignore_errors=True)

@@ -13,17 +13,54 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from egp_crn_spark.config import EXTENT, MAX_RES
+from egp_crn_spark.config import EXTENT
 from egp_crn_spark.functions import cells as morton_cells
 from egp_crn_spark.functions import cells_rowmajor
 
 
+try:
+    from egp_crn_spark.functions import cells_h3  # noqa: F401
+
+    _HAS_H3 = True
+except ImportError:
+    _HAS_H3 = False
+
+_H3_PARAM = pytest.param(
+    "h3",
+    marks=pytest.mark.skipif(
+        not _HAS_H3, reason="h3 library not installed in this environment"
+    ),
+)
+
+
+def _backend(name):
+    if name == "morton":
+        return morton_cells
+    if name == "rowmajor":
+        return cells_rowmajor
+    from egp_crn_spark.functions import cells_h3 as b
+
+    return b
+
+
 @pytest.fixture(scope="module", params=["morton", "rowmajor"])
 def C(request):
-    """Both backends must satisfy every axiom here — the row-major
-    module exists precisely to prove the operators' contract does not
-    depend on Z-order bit structure (h3 swap-readiness)."""
-    return morton_cells if request.param == "morton" else cells_rowmajor
+    """Square-grid backends: these tests exercise the ix/iy internals
+    (cell_encode, idx_of, domain clamping, the three renderers) that an
+    h3 backend deliberately does not have. The row-major module exists
+    precisely to prove the operators' contract does not depend on
+    Z-order bit structure (h3 swap-readiness)."""
+    return _backend(request.param)
+
+
+@pytest.fixture(scope="module", params=["morton", "rowmajor", _H3_PARAM])
+def CB(request):
+    """ALL backends, including real h3 when the library is importable
+    (skipped, not failed, where it is not): the backend-agnostic axioms
+    below reach cells only through the point API — cell_of_xy,
+    parent_cell, kring_of_xy, res_for_radius, cell_size — which is the
+    exact surface the operators use through the cells.py seam."""
+    return _backend(request.param)
 
 
 @pytest.fixture(scope="module")
@@ -41,23 +78,38 @@ def pts(spark):
     return spark.createDataFrame(pd.concat([pdf, edge], ignore_index=True))
 
 
-def test_parent_containment(pts, C):
+def test_parent_containment(pts, CB):
     """cell_of_xy at a coarse res == parent of cell_of_xy at a fine res —
     the hierarchy axiom behind compact/uncompact and tile rollups."""
     for fine, coarse in [(10, 4), (12, 10), (8, 0)]:
         bad = pts.filter(
-            C.parent_cell(C.cell_of_xy(F.col("x"), F.col("y"), fine), fine, coarse)
-            != C.cell_of_xy(F.col("x"), F.col("y"), coarse)
+            CB.parent_cell(CB.cell_of_xy(F.col("x"), F.col("y"), fine), fine, coarse)
+            != CB.cell_of_xy(F.col("x"), F.col("y"), coarse)
         ).count()
         assert bad == 0, (fine, coarse)
 
 
-def test_res_encoded_and_disjoint(pts, C):
+def test_res_encoded_and_disjoint(pts, CB):
     """Cell ids at different resolutions never collide (res is part of
     the id) — multi-resolution cell sets can share one column."""
-    a = {r["c"] for r in pts.select(C.cell_of_xy(F.col("x"), F.col("y"), 7).alias("c")).collect()}
-    b = {r["c"] for r in pts.select(C.cell_of_xy(F.col("x"), F.col("y"), 8).alias("c")).collect()}
+    a = {r["c"] for r in pts.select(CB.cell_of_xy(F.col("x"), F.col("y"), 7).alias("c")).collect()}
+    b = {r["c"] for r in pts.select(CB.cell_of_xy(F.col("x"), F.col("y"), 8).alias("c")).collect()}
     assert not (a & b)
+
+
+def test_kring_of_xy_contains_own_cell(spark, CB):
+    """Backend-agnostic ring axiom via the POINT API: the k-ring(1) of an
+    interior point contains the point's own cell and all immediate
+    neighbours (>= 7 distinct cells — 7 for hexagons, 9 for squares)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [EXTENT / 2], "y": [EXTENT / 2]}))
+    res = 6
+    out = df.select(
+        CB.cell_of_xy(F.col("x"), F.col("y"), res).alias("own"),
+        CB.kring_of_xy(F.col("x"), F.col("y"), res, 1).alias("ring"),
+    ).collect()[0]
+    assert out["own"] in out["ring"]
+    assert len(set(out["ring"])) >= 7
 
 
 def test_kring_contains_own_cell_and_neighbours(spark, C):
@@ -77,16 +129,18 @@ def test_kring_contains_own_cell_and_neighbours(spark, C):
     assert len(set(interior["ring"])) == 9  # all distinct
 
 
-def test_res_for_radius_covers(spark, C):
+def test_res_for_radius_covers(spark, CB):
     """THE coverage invariant: two points within `radius` of each other
     share >= 1 cell between one side's k-ring(1) and the other side's
-    own cell, at res_for_radius(radius)."""
+    own cell, at res_for_radius(radius). Backend-agnostic via the point
+    API — for hexagons the guarantee comes from min-width >= radius, for
+    squares from cell_size >= radius; both surface as cell_size."""
     rng = np.random.default_rng(11)
     radius = 300.0
-    res = C.res_for_radius(radius)
-    assert C.cell_size(res) >= radius
-    if res < MAX_RES:
-        assert C.cell_size(res + 1) < radius
+    res = CB.res_for_radius(radius)
+    assert CB.cell_size(res) >= radius
+    if res < CB.MAX_RES:
+        assert CB.cell_size(res + 1) < radius
     ax = rng.uniform(0, EXTENT, 400)
     ay = rng.uniform(0, EXTENT, 400)
     theta = rng.uniform(0, 2 * np.pi, 400)
@@ -96,11 +150,10 @@ def test_res_for_radius_covers(spark, C):
     keep = np.hypot(ax - bx, ay - by) <= radius  # clipping may shorten; fine
     df = spark.createDataFrame(pd.DataFrame(
         {"ax": ax[keep], "ay": ay[keep], "bx": bx[keep], "by": by[keep]}))
-    aix, aiy = C.xy_to_ixy(F.col("ax"), F.col("ay"), res)
     missed = df.filter(
         ~F.arrays_overlap(
-            C.kring_cells(aix, aiy, res, 1),
-            F.array(C.cell_of_xy(F.col("bx"), F.col("by"), res)),
+            CB.kring_of_xy(F.col("ax"), F.col("ay"), res, 1),
+            F.array(CB.cell_of_xy(F.col("bx"), F.col("by"), res)),
         )
     ).count()
     assert missed == 0

@@ -176,6 +176,45 @@ def test_ivf_topk_recall(spark, embeddings):
     assert np.mean(recalls) >= 0.6  # nprobe=3/8 cells → decent recall
 
 
+def test_ivf_matmul_matches_expr(spark, embeddings):
+    """The broadcast-matmul quantizer (the scale path for large ncells)
+    and the literal-expression quantizer assign identical cells and
+    return identical top-k ids on the same data."""
+    queries = embeddings.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    C = SIM.train_centroids(embeddings, ncells=8, sample=512)
+    a_expr = SIM.ivf_assign(embeddings, C, method="expr").select("n_id", "cell").toPandas()
+    a_mm = SIM.ivf_assign(embeddings, C, method="matmul").select("n_id", "cell").toPandas()
+    merged = a_expr.merge(a_mm, on="n_id", suffixes=("_e", "_m"))
+    assert len(merged) == len(a_expr)
+    assert (merged.cell_e == merged.cell_m).all()
+
+    t_expr = SIM.ivf_topk(queries, embeddings, k=5, ncells=8, nprobe=3,
+                          centroids=C, method="expr").toPandas()
+    t_mm = SIM.ivf_topk(queries, embeddings, k=5, ncells=8, nprobe=3,
+                        centroids=C, method="matmul").toPandas()
+    key = ["q_id", "n_id", "rank"]
+    assert (t_expr[key].sort_values(key).reset_index(drop=True)
+            .equals(t_mm[key].sort_values(key).reset_index(drop=True)))
+
+
+def test_ivf_matmul_large_ncells(spark, embeddings):
+    """auto method picks matmul above _EXPR_NCELLS_MAX and stays correct:
+    every assigned cell equals the numpy nearest centroid."""
+    C = SIM.train_centroids(embeddings, ncells=32, sample=512)
+    got = SIM.ivf_assign(embeddings, C).select("n_id", "cell").toPandas()
+    pdf = embeddings.toPandas()
+    X = np.asarray([list(v) for v in pdf.embedding], dtype=np.float64)
+    sims = X @ C.T
+    want = pd.Series(sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1),
+                     index=pdf.vec_id.values)
+    merged = got.set_index("n_id").cell
+    assert len(merged) == len(want)
+    assert (merged.reindex(want.index) == want).all()
+
+
 # ---------------------------------------------------------------- images
 def test_image_ops(spark, fixtures_dir):
     images = spark.read.parquet(f"{fixtures_dir}/images.parquet").limit(100)

@@ -47,9 +47,11 @@ def main() -> None:
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     lo, hi = 8, 32
     best: dict[int, dict[str, float]] = {lo: {}, hi: {}}
+    job_rows: dict[str, int] = {}
     for _ in range(rounds):
         for cpus in (lo, hi):
             r = run_worker(cpus, n_images)
+            job_rows.update(r.get("rows", {}))
             for job, sec in r["secs"].items():
                 cur = best[cpus].get(job)
                 best[cpus][job] = sec if cur is None else min(cur, sec)
@@ -61,12 +63,14 @@ def main() -> None:
                        "hybrid JVM + Arrow"),
         "refine_kernel": ("exact-PIP refine kernel (Python-compute-bound pandas UDF)",
                           "per-core compute; closest executor-scale-out proxy"),
+        "ivf_assign": ("IVF centroid assignment (broadcast-matmul pandas UDF, 1M×64-dim, 64 cells)",
+                       "BLAS-bound per-core compute; the ANN index-build stage"),
     }
     rows = []
     for job, (label, note) in jobs.items():
-        t_mult = 4 if job == "tile_assign" else 1
-        t_lo = t_mult * n_images / best[lo][job]
-        t_hi = t_mult * n_images / best[hi][job]
+        n = job_rows.get(job, n_images)
+        t_lo = n / best[lo][job]
+        t_hi = n / best[hi][job]
         eff = (t_hi / t_lo) / (hi / lo)
         rows.append((label, note, t_lo, t_hi, eff))
 

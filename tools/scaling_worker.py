@@ -82,7 +82,30 @@ def main() -> None:
 
     run("refine_kernel", kernel_df)
 
-    print(json.dumps({"secs": secs, "cpus": cpus}))
+    # IVF centroid assignment: the broadcast-matmul quantizer (one BLAS
+    # X @ C.T per Arrow batch in mapInPandas) over 1M x 64-dim vectors at
+    # 64 cells — BLAS-bound per-core compute, the ANN index-build stage.
+    n_vecs = 1_000_000
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".data", f"ann_demo_v2_{n_vecs}")
+    if not os.path.isdir(vec_path):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from ann_demo import synth_vectors
+
+        synth_vectors(spark, n_vecs).repartition(cpus * 4).write.mode(
+            "overwrite").parquet(vec_path)
+    corpus = spark.read.parquet(vec_path)
+    rng = np.random.default_rng(42)
+    cmat = rng.standard_normal((64, 64))
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    from egp_crn_spark.operators.similarity import ivf_assign
+
+    run("ivf_assign", lambda: ivf_assign(corpus, cmat).groupBy("cell").count())
+
+    rows = {"tile_assign": 4 * n_images, "pip_images": n_images,
+            "refine_kernel": n_images, "ivf_assign": n_vecs}
+    print(json.dumps({"secs": secs, "rows": rows, "cpus": cpus}))
     spark.stop()
 
 
