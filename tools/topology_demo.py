@@ -168,7 +168,9 @@ a 302 violation: distance 0 from an arc it shares no node with).
 
 Per-validation walls, each run standalone over the cached arc set (sums
 exceed the composed wall — stages rerun their own candidate pipelines
-when timed apart):
+when timed apart; single-stage walls on this shared VM carry ±30% steal
+noise, so read the TABLE for ranking, not ulp-level deltas — a stage
+reading faster at 4x the arcs is warm-up/steal, not magic):
 
 | stage | {n_arcs:,} arcs (s) | {big['n_arcs']:,} arcs (s) |
 |---|---|---|
