@@ -322,21 +322,32 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     to (validate_topology.py:174-233): for each deadend node, find arcs
     within min_dist, subtract arcs sharing ANY vertex-node with the
     deadend arc's endpoints, flag the deadend arc + disconnected arcs."""
-    dead = N.deadends(arcs, id_col, vertices).withColumnRenamed(id_col, "src_id")
+    # persisted: feeds BOTH the distance join (points) and the dead-arc
+    # restriction of the connectivity join below — without the persist
+    # the second consumer would re-run the whole deadends lineage
+    # (explode + node-count + semi-join) from scratch.
+    dead = (N.deadends(arcs, id_col, vertices)
+            .withColumnRenamed(id_col, "src_id").persist())
     # src_id rides INSIDE the join key struct — no join-back onto `dead`
-    # afterwards (which would re-run the whole deadends lineage a second
-    # time and shuffle 2x ~n rows on string node keys). Existence is all
-    # 302 needs, so raw candidate pairs feed the distinct below directly
-    # — the min-distance aggregation would be a wasted extra shuffle.
+    # afterwards (which would shuffle 2x ~n rows on string node keys).
+    # Existence is all 302 needs, so raw candidate pairs feed the
+    # distinct below directly — the min-distance aggregation would be a
+    # wasted extra shuffle.
     hits = point_near_arc_pairs(
         dead.select(F.struct("node", "src_id").alias("p_id"), "x", "y"),
         arcs, min_dist, id_col=id_col, vertices=vertices,
         res=res_for_radius(min_dist),
     ).select(F.col("p_id.src_id").alias("src_id"), F.col(id_col).alias("near_id"))
     # connected = arcs referencing either endpoint NODE of the source arc
-    # (pts_id_lookup over ALL vertices — validate_topology.py:211-215)
+    # (pts_id_lookup over ALL vertices — validate_topology.py:211-215).
+    # Only DEADEND arcs can be src — restricting the endpoint side to
+    # them up front shrinks this node join by the deadend fraction
+    # (a few % of arcs in a real road network) instead of joining every
+    # arc's endpoints against every vertex node.
+    dead_ids = dead.select(F.col("src_id").alias(id_col)).distinct()
     src_end_nodes = (
-        N.endpoint_nodes(arcs, id_col, vertices)
+        N.endpoint_nodes(arcs.join(dead_ids, id_col, "left_semi"),
+                         id_col, vertices)
         .select(F.col(id_col).alias("src_id"), "node")
     )
     allv = N.all_vertex_nodes(arcs, id_col, vertices).select(

@@ -74,6 +74,16 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # one BLAS thread PER PYTHON WORKER: numpy kernels inside pandas UDFs
+    # otherwise spawn a full OpenBLAS/MKL pool in each of N concurrent
+    # workers — N x N threads oversubscribe the box and the matmul-based
+    # stages scale NEGATIVELY with cores (measured: the IVF assignment at
+    # local[32] ran 2.2x SLOWER than local[8] before this). Parallelism
+    # belongs to Spark's task scheduler, not the library pools.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
+        os.environ.setdefault(var, "1")  # driver-side numpy too (local mode)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
