@@ -139,35 +139,55 @@ def _assign_matmul(sel: DataFrame, C: np.ndarray) -> DataFrame:
     batch against an executor-broadcast centroid matrix — O(ncells x dim)
     literals never enter the plan, so ncells 10^4-10^6 costs one matmul,
     not an expression tree. Tie-break matches the expr path (largest cell
-    id wins on equal sim): argmax over the column-reversed sim matrix."""
-    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
-                                   StructField, StructType)
+    id wins on equal sim): argmax over the column-reversed sim matrix.
+    Adapts to the input element type: an array<float> cv computes, and is
+    carried, in float32 (half the Arrow/shuffle bytes of the double
+    path — the stage is memory-bandwidth-bound, so bytes ARE the cost)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
+                                   IntegerType, StructField, StructType)
 
+    f32 = isinstance(sel.schema["cv"].dataType.elementType, FloatType)
+    np_t = np.float32 if f32 else np.float64
+    elem = FloatType() if f32 else DoubleType()
     bc = sel.sparkSession.sparkContext.broadcast(
-        np.ascontiguousarray(C, dtype=np.float64))
+        np.ascontiguousarray(C, dtype=np_t))
     schema = StructType([
         sel.schema["n_id"],
-        StructField("cv", ArrayType(DoubleType()), True),
+        StructField("cv", ArrayType(elem), True),
         StructField("cell", IntegerType(), False),
-        StructField("_cn", DoubleType(), False),
+        StructField("_cn", elem, False),
     ])
 
-    def gen(it):
+    # mapInARROW, not mapInPandas: the list column's flat value buffer
+    # reshapes (near-)zero-copy into the (n, dim) matmul input, and the
+    # id/vector columns PASS THROUGH as the original Arrow arrays — the
+    # pandas route materializes one Python ndarray object per row on
+    # both directions, and that allocator churn (not the matmul) was the
+    # measured cost of the build at high worker counts.
+    def gen(batches):
+        import pyarrow as pa
+
         Cb = bc.value
-        for pdf in it:
-            if not len(pdf):
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            X = _stack(pdf["cv"])
+            cv = b.column(b.schema.get_field_index("cv"))
+            flat = cv.flatten()
+            X = flat.to_numpy(zero_copy_only=False).reshape(n, -1)
+            if X.dtype != np_t:
+                X = X.astype(np_t)
             sims = X @ Cb.T
             cell = (sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1))
-            yield pd.DataFrame({
-                "n_id": pdf["n_id"].to_numpy(),
-                "cv": pdf["cv"],
-                "cell": cell.astype("int32"),
-                "_cn": np.sqrt(np.einsum("ij,ij->i", X, X)),
-            })
+            cn = np.sqrt(np.einsum("ij,ij->i", X, X, dtype=np_t))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("n_id")), cv,
+                 pa.array(cell.astype("int32"), type=pa.int32()),
+                 pa.array(cn, type=pa.float32() if f32 else pa.float64())],
+                ["n_id", "cv", "cell", "_cn"],
+            )
 
-    return sel.mapInPandas(gen, schema=schema)
+    return sel.mapInArrow(gen, schema=schema)
 
 
 def _probe_cells_matmul(sel: DataFrame, C: np.ndarray, nprobe: int) -> DataFrame:
@@ -214,6 +234,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     method: str = "auto",
+    dtype: str = "float64",
 ) -> DataFrame:
     """IVF INDEX BUILD: assign each corpus vector to its nearest
     centroid — (n_id, cv, cell, _cn). O(corpus x ncells) dot products,
@@ -223,7 +244,25 @@ def ivf_assign(
 
     method: 'expr' = pure-Column literal fold (tiny ncells; DuckDB-twin
     exact), 'matmul' = broadcast-centroid BLAS kernel (the scale path),
-    'auto' = expr iff ncells <= _EXPR_NCELLS_MAX."""
+    'auto' = expr iff ncells <= _EXPR_NCELLS_MAX.
+
+    dtype: 'float32' builds and CARRIES the index in single precision —
+    embeddings are float32 at the source, so the double path spends 2x
+    the Arrow/shuffle bytes for precision ANN scoring cannot use. The
+    assignment stage is measured memory-bandwidth-bound (BENCH/ANN.md),
+    so this halves its real cost; scoring in ivf_probe promotes to
+    double at the arithmetic, losing nothing but the wasted bytes.
+    Implies the matmul quantizer (the literal-expr fold is the
+    double-exact oracle path)."""
+    if dtype == "float32":
+        if method == "expr":
+            raise ValueError("dtype='float32' requires the matmul quantizer")
+        sel = _ensure_parallelism(corpus).select(
+            F.col(id_col).alias("n_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("float")).alias("cv"))
+        return _assign_matmul(sel, centroids)
+    if dtype != "float64":
+        raise ValueError(f"unknown dtype {dtype!r}")
     sel = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("n_id"), _as_double(vec_col).alias("cv"))
     if _use_expr(method, centroids):

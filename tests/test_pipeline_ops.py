@@ -200,6 +200,31 @@ def test_ivf_matmul_matches_expr(spark, embeddings):
             .equals(t_mm[key].sort_values(key).reset_index(drop=True)))
 
 
+def test_ivf_float32_index(spark, embeddings):
+    """dtype='float32' carries the index in single precision (half the
+    Arrow/shuffle bytes) without hurting ANN quality: same cells as the
+    double path on this fixture, and probe recall vs exact matches the
+    double path's."""
+    queries = embeddings.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    C = SIM.train_centroids(embeddings, ncells=8, sample=512)
+    idx32 = SIM.ivf_assign(embeddings, C, method="matmul", dtype="float32")
+    assert str(idx32.schema["cv"].dataType) == "ArrayType(FloatType(), True)"
+    idx64 = SIM.ivf_assign(embeddings, C, method="matmul")
+    a = idx32.select("n_id", "cell").toPandas().set_index("n_id").cell
+    b = idx64.select("n_id", "cell").toPandas().set_index("n_id").cell
+    assert (a.reindex(b.index) == b).all()
+
+    exact = SIM.brute_force_topk(queries, embeddings, k=5).toPandas()
+    got = SIM.ivf_probe(queries, idx32, C, k=5, nprobe=3).toPandas()
+    ex = exact.groupby("q_id").n_id.apply(set)
+    ap = got.groupby("q_id").n_id.apply(set)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex.index]
+    assert np.mean(recalls) >= 0.6
+
+
 def test_ivf_matmul_large_ncells(spark, embeddings):
     """auto method picks matmul above _EXPR_NCELLS_MAX and stays correct:
     every assigned cell equals the numpy nearest centroid."""

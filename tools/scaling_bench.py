@@ -63,9 +63,9 @@ def main() -> None:
                        "hybrid JVM + Arrow"),
         "refine_kernel": ("exact-PIP refine kernel (Python-compute-bound pandas UDF)",
                           "per-core compute; closest executor-scale-out proxy"),
-        "ivf_assign": ("IVF centroid assignment (broadcast-matmul pandas UDF, 1M×64-dim, 64 cells)",
-                       "Arrow-transfer/memory-bandwidth-bound (512MB of vectors through "
-                       "one bus; BLAS pinned to 1 thread/worker — see session.py): "
+        "ivf_assign": ("IVF centroid assignment (broadcast-matmul mapInArrow, float32, 1M×64-dim, 64 cells)",
+                       "Arrow-buffer/memory-bandwidth-bound (vectors stream through one "
+                       "bus; BLAS pinned to 1 thread/worker — see session.py): "
                        "treat like tile_assign as a lower bound"),
     }
     rows = []

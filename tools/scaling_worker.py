@@ -101,7 +101,8 @@ def main() -> None:
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     from egp_crn_spark.operators.similarity import ivf_assign
 
-    run("ivf_assign", lambda: ivf_assign(corpus, cmat).groupBy("cell").count())
+    run("ivf_assign", lambda: ivf_assign(corpus, cmat, dtype="float32")
+        .groupBy("cell").count())
 
     rows = {"tile_assign": 4 * n_images, "pip_images": n_images,
             "refine_kernel": n_images, "ivf_assign": n_vecs}
