@@ -102,11 +102,18 @@ def main() -> None:
         C = train_centroids(corpus, ncells, sample=sample)
         train_s = time.perf_counter() - t0
         # IVF index build: assignment is O(corpus x ncells), paid once
-        # and amortized across every future query batch — timed apart
-        t0 = time.perf_counter()
-        index = ivf_assign(corpus, C, dtype=dtype).cache()
-        index.count()
-        build_s = time.perf_counter() - t0
+        # and amortized across every future query batch — timed apart.
+        # min-of-2 trials: this VM's steal comes in bursts, and a single
+        # trial can read 2-4x slow (BENCH/PIPELINE.md methodology).
+        build_s = float("inf")
+        index = None
+        for _ in range(2):
+            if index is not None:
+                index.unpersist()
+            t0 = time.perf_counter()
+            index = ivf_assign(corpus, C, dtype=dtype).cache()
+            index.count()
+            build_s = min(build_s, time.perf_counter() - t0)
         tag = f"ivf{ncells}_{dtype}"
         results[f"{tag}_build"] = {"sec": round(build_s, 2),
                                    "vectors_per_sec": round(n / build_s, 1)}
@@ -151,7 +158,8 @@ IVF: {NCELLS} cells (k-means on a seeded 4096-vector sample,
 Probe speedup {speedup:.1f}x vs brute force at recall {recall:.3f};
 the O(corpus x ncells) index build amortizes across query batches.
 The quantizer is the broadcast-centroid BLAS kernel (one X @ C.T per
-Arrow batch inside mapInPandas, similarity._assign_matmul) — the
+Arrow record batch inside mapInArrow, similarity._assign_matmul;
+the vector column passes through as the original Arrow buffers) — the
 round-3 literal-expression quantizer built this index at ~28k vec/s
 and could not express ncells=1024 at all.
 
