@@ -328,16 +328,18 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     # (explode + node-count + semi-join) from scratch.
     dead = (N.deadends(arcs, id_col, vertices)
             .withColumnRenamed(id_col, "src_id").persist())
-    # src_id rides INSIDE the join key struct — no join-back onto `dead`
-    # afterwards (which would shuffle 2x ~n rows on string node keys).
-    # Existence is all 302 needs, so raw candidate pairs feed the
-    # distinct below directly — the min-distance aggregation would be a
-    # wasted extra shuffle.
+    # p_id = src_id ALONE — the deadend node key is never consumed past
+    # this join, so carrying it (a ~20-char string on every k-ring-
+    # exploded candidate row) would only widen the join shuffle. The two
+    # endpoints of a doubly-deadend arc become two point rows with the
+    # same p_id; that's fine — existence is all 302 needs, and the
+    # distinct below collapses pair duplicates anyway (a min-distance
+    # aggregation would be a wasted extra shuffle).
     hits = point_near_arc_pairs(
-        dead.select(F.struct("node", "src_id").alias("p_id"), "x", "y"),
+        dead.select(F.col("src_id").alias("p_id"), "x", "y"),
         arcs, min_dist, id_col=id_col, vertices=vertices,
         res=res_for_radius(min_dist),
-    ).select(F.col("p_id.src_id").alias("src_id"), F.col(id_col).alias("near_id"))
+    ).select(F.col("p_id").alias("src_id"), F.col(id_col).alias("near_id"))
     # connected = arcs referencing either endpoint NODE of the source arc
     # (pts_id_lookup over ALL vertices — validate_topology.py:211-215).
     # Only DEADEND arcs can be src — restricting the endpoint side to
