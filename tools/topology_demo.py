@@ -193,7 +193,9 @@ arrays) whose single-segment pairs — the bulk of a noded network —
 resolve with pure-Column predicates, multi-vertex pairs refining in an
 Arrow kernel fed by per-arc array join-backs; 301 is relational over
 exploded vertices; 302 is the k-ring point-to-segment join minus the
-connected set, with the source-arc id riding inside the join key; 101 is
+connected set, with the source-arc id as the point id (nothing else
+rides the candidate shuffle) and the connectivity join restricted to
+deadend arcs; 101 is
 a per-row Arrow kernel; 102 is pure Column. No stage collects to the
 driver; every shuffle keys on bigints or node-key strings.
 
