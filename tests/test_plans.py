@@ -53,6 +53,32 @@ def test_knn_single_shuffle(spark):
     assert not plans.has_python_eval(df)
 
 
+def test_ivf_probe_broadcasts_queries_never_shuffles_index(spark):
+    """The ANN serving contract: the probe side (tiny query batch) must
+    BROADCAST into the join so the corpus index is never shuffled. This
+    regressed once — the matmul quantizer emits probes through
+    mapInPandas/mapInArrow, whose unknown size statistics pushed Catalyst
+    to a sort-merge join that shuffled the whole 1M-row index (probe
+    walls 4.6s → 16.6s) until ivf_probe gained its explicit hint."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from egp_crn_spark.operators.similarity import ivf_assign, ivf_probe
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rng = np.random.default_rng(3)
+    C = rng.standard_normal((32, 64))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    index = ivf_assign(emb, C)  # ncells=32 → matmul quantizer
+    queries = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    df = ivf_probe(queries, index, C, k=3, nprobe=4)
+    p = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), "probe side must broadcast"
+    assert "SortMergeJoin" not in p, "index side must never sort-merge-shuffle"
+
+
 def test_minhash_stays_jvm(spark):
     df = _plan(spark, "minhash_lsh_dup")
     assert not plans.has_python_eval(df), "minhash/banding/jaccard are pure Column"

@@ -153,6 +153,32 @@ def main() -> None:
         notes="Pigeonhole band buckets + bit_count(xor) verify — pure Column.",
     ))
 
+    # 7) IVF probe: probe side broadcasts; the corpus index is NEVER
+    # sort-merge-shuffled (the matmul quantizer's mapInArrow output has
+    # unknown size stats — without ivf_probe's explicit hint Catalyst
+    # shuffled the whole index; this pins the fix)
+    import numpy as np
+
+    from egp_crn_spark.operators.similarity import ivf_assign, ivf_probe
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rng = np.random.default_rng(3)
+    Cm = rng.standard_normal((32, 64))
+    Cm /= np.linalg.norm(Cm, axis=1, keepdims=True)
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    audits.append(audit(
+        "ivf_probe (ANN serving join)",
+        ivf_probe(q, ivf_assign(emb, Cm), Cm, k=3, nprobe=4),
+        wants=[("probe side broadcasts", r"BroadcastHashJoin")],
+        forbids=[("index sort-merge-shuffled", r"SortMergeJoin"),
+                 ("cartesian product", r"CartesianProduct")],
+        notes="Query batches broadcast into the cell equi-join; the "
+              "10^9-row-shaped index side is never shuffled (and on a "
+              "bucketed table the probe is exchange-free end to end).",
+    ))
+
     all_ok = all(a["ok"] for a in audits)
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     with open(out, "w") as f:
