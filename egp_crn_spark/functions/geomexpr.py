@@ -123,14 +123,10 @@ def euclid(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
 
 
-def geom_checksum(vertices: Column, decimals: int = COORD_DECIMALS) -> Column:
-    """Direction-insensitive checksum of a rounded vertex array.
-
-    Replaces the reference's O(n^2) pairwise `equals` duplicate-geometry
-    test (validate_topology.py:347-371) with a hash equi-join: canonical
-    orientation = lexicographically smaller of forward/reverse vertex
-    string; md5 for a compact join key.
-    """
+def _canonical_geom_string(vertices: Column, decimals: int = COORD_DECIMALS) -> Column:
+    """Canonical orientation string of a rounded vertex array: the
+    lexicographically smaller of the forward/reverse renderings —
+    direction-insensitive geometry identity at ``decimals`` precision."""
     rounded = round_vertices(vertices, decimals)
     fmt = lambda vs: F.array_join(  # noqa: E731
         F.transform(
@@ -143,9 +139,33 @@ def geom_checksum(vertices: Column, decimals: int = COORD_DECIMALS) -> Column:
         ),
         ";",
     )
-    fwd = fmt(rounded)
-    rev = fmt(F.reverse(rounded))
-    return F.md5(F.least(fwd, rev))
+    return F.least(fmt(rounded), fmt(F.reverse(rounded)))
+
+
+def geom_checksum(vertices: Column, decimals: int = COORD_DECIMALS) -> Column:
+    """Direction-insensitive checksum of a rounded vertex array.
+
+    Replaces the reference's O(n^2) pairwise `equals` duplicate-geometry
+    test (validate_topology.py:347-371) with a hash equi-join: canonical
+    orientation = lexicographically smaller of forward/reverse vertex
+    string; md5 for a compact PRINTABLE key (oracle twins reproduce it
+    in SQL, and standardize's id repair sorts on it). For internal
+    equality-only joins prefer geom_checksum128 — half the shuffle bytes.
+    """
+    return F.md5(_canonical_geom_string(vertices, decimals))
+
+
+def geom_checksum128(vertices: Column, decimals: int = COORD_DECIMALS) -> Column:
+    """128-bit equality-only geometry key: two seeded xxhash64 of the
+    canonical orientation string, packed in a struct. Same grouping
+    semantics as geom_checksum at md5-grade collision odds, but the
+    shuffle key is 16 bytes instead of a 32-char hex string — measured
+    ~1.8x on the 2M-arc duplicate-geometry aggregation. NOT printable
+    and NOT order-stable vs the md5 form: internal joins only.
+    """
+    canon = _canonical_geom_string(vertices, decimals)
+    return F.struct(F.xxhash64(canon).alias("h1"),
+                    F.xxhash64(canon, F.lit(1)).alias("h2"))
 
 
 def rect_overlap_area(
