@@ -5,9 +5,11 @@ coarse-quantizer ANN (the scale path): centroids from a seeded sample,
 vectors assigned to nearest centroid (partition pruning), queries probe
 ``nprobe`` nearest centroids — candidate set shrinks by ~ncells/nprobe.
 
-All distance math is JVM higher-order folds (functions are Column
-expressions); only centroid training touches numpy, on a driver-side
-sample (bounded, seeded).
+Scoring math is JVM higher-order folds (Column expressions). numpy
+appears in exactly two places: centroid training (driver-side bounded
+seeded sample) and the broadcast-matmul coarse quantizer — one BLAS
+``X @ C.T`` per Arrow record batch inside mapInArrow, the scale path
+for cell counts an unrolled literal expression cannot represent.
 """
 
 from __future__ import annotations

@@ -81,17 +81,14 @@ def synth(spark, W=W, H=H):
     return out, counts
 
 
-def run_scale(spark, cpus, w, h):
-    """One measured point: synth (disk-cached), run all 7, check counts."""
+def prepare_scale(spark, cpus, w, h):
+    """Synth (disk-cached) one lattice + its expected counts."""
     net, ncls = synth(spark, w, h)
     GEN_V = 1  # bump when synth geometry/classes change — cache key
     path = os.path.join(REPO, ".data", f"topo_demo_v{GEN_V}_{w}x{h}")
     if not os.path.isdir(path):
         net.repartition(cpus * 4).write.mode("overwrite").parquet(path)
     net = spark.read.parquet(path)
-    n_arcs = net.count()
-
-    # expected flag counts per validation (see module docstring)
     expected = {
         "v101": ncls["v101"], "v102": ncls["v102"],
         "v201": 2 * ncls["v201"], "v202": 2 * ncls["v202"],
@@ -99,25 +96,31 @@ def run_scale(spark, cpus, w, h):
         "v302": 2 * ncls["v302"] + 2 * ncls["v202"],
         "v303": 2 * ncls["v303"],
     }
+    return {"net": net, "n_arcs": net.count(), "expected": expected,
+            "w": w, "h": h, "wall": float("inf")}
 
+
+def composed_trial(pt):
+    """One composed run over pt["net"]; keeps the min wall and counts.
+    A fresh validate_topology() DataFrame per trial (no shuffle reuse)."""
     t0 = time.perf_counter()
-    flagged = validate_topology(net)
+    flagged = validate_topology(pt["net"])
     agg = flagged.agg(*[F.sum(f"v{c}").alias(f"v{c}")
                         for c in (101, 102, 201, 202, 301, 302, 303)]).first()
-    wall = time.perf_counter() - t0
-    got = {f"v{c}": int(agg[f"v{c}"]) for c in (101, 102, 201, 202, 301, 302, 303)}
-    ok = got == expected
-    print(f"[{w}x{h}] expected", expected, flush=True)
-    print(f"[{w}x{h}] got     ", got, "MATCH" if ok else "MISMATCH", flush=True)
-    print(f"[{w}x{h}] wall {wall:.1f}s  arcs/s {n_arcs / wall:,.0f}", flush=True)
+    pt["wall"] = min(pt["wall"], time.perf_counter() - t0)
+    pt["got"] = {f"v{c}": int(agg[f"v{c}"]) for c in (101, 102, 201, 202, 301, 302, 303)}
+    pt["ok"] = pt["got"] == pt["expected"]
 
-    # per-validation walls (each run standalone over the cached arcs) so
-    # the NEXT optimization targets the measured top stage, not a guess.
-    # Sum exceeds the composed wall: stages share the normalized-arc
-    # cache but rerun their own candidate pipelines here.
+
+def stage_walls(pt):
+    """Per-validation walls (each run standalone over the cached arcs) so
+    the NEXT optimization targets the measured top stage, not a guess.
+    Sum exceeds the composed wall: stages share the normalized-arc cache
+    but rerun their own candidate pipelines here."""
     from egp_crn_spark.operators.validate import VALIDATIONS
 
-    cached = net.cache()
+    w, h = pt["w"], pt["h"]
+    cached = pt["net"].cache()
     cached.count()
     stages = {}
     for code in sorted(VALIDATIONS):
@@ -125,9 +128,12 @@ def run_scale(spark, cpus, w, h):
         VALIDATIONS[code](cached).count()
         stages[f"v{code}"] = round(time.perf_counter() - t0, 1)
     cached.unpersist()
+    pt["stages"] = stages
+    print(f"[{w}x{h}] expected", pt["expected"], flush=True)
+    print(f"[{w}x{h}] got     ", pt["got"],
+          "MATCH" if pt["ok"] else "MISMATCH", flush=True)
+    print(f"[{w}x{h}] wall {pt['wall']:.1f}s  arcs/s {pt['n_arcs'] / pt['wall']:,.0f}", flush=True)
     print(f"[{w}x{h}] stages", stages, flush=True)
-    return {"n_arcs": n_arcs, "wall": wall, "expected": expected,
-            "got": got, "ok": ok, "w": w, "h": h, "stages": stages}
 
 
 def main() -> None:
@@ -135,9 +141,17 @@ def main() -> None:
     spark = get_session("topology-demo", cores=cpus)
     # base point (round-over-round comparable) + a 4x scale-up point:
     # same planted geometry, the lattice just grows southward (the
-    # domain caps x; H*4 stays inside it)
-    base = run_scale(spark, cpus, W, H)
-    big = run_scale(spark, cpus, W, H * 4)
+    # domain caps x; H*4 stays inside it). Composed trials INTERLEAVE
+    # across the two scales (base, big, base, big) so a host-steal burst
+    # degrades both points equally instead of silently skewing the
+    # per-arc scale-up ratio — the number the 100x story rests on.
+    base = prepare_scale(spark, cpus, W, H)
+    big = prepare_scale(spark, cpus, W, H * 4)
+    for _ in range(2):
+        composed_trial(base)
+        composed_trial(big)
+    stage_walls(base)
+    stage_walls(big)
     n_arcs, wall = base["n_arcs"], base["wall"]
     expected, got, ok = base["expected"], base["got"], base["ok"]
     scaleup = round((big["wall"] / wall) / (big["n_arcs"] / n_arcs), 2)
