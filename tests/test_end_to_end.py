@@ -150,3 +150,18 @@ def test_enforce_suggested_snapping_roundtrip(spark):
     assert len(road_pieces) == 2  # road split at (50, 0)
     ends = sorted(tuple(p.vertices[-1]) for p in road_pieces.itertuples())
     assert ends == [(50.0, 0.0), (100.0, 0.0)]
+
+
+def test_driver_registry_within_cap_and_fully_oracled():
+    """The driver's correctness harness records only the FIRST 50
+    registry entries (round 3 silently lost the two entries past that
+    cap). Every entry must fit under the cap AND carry a DuckDB oracle —
+    adding a 51st query or a rows-only entry is a registry design error,
+    not a harness problem: consolidate or retire per VERDICT r3 #1."""
+    from egp_crn_spark.driverq import QUERIES
+
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registry entries — the driver records only 50; "
+        "fold or retire before adding")
+    missing = [n for n, (_fn, sql) in QUERIES.items() if sql is None]
+    assert not missing, f"entries without oracle SQL: {missing}"
