@@ -53,6 +53,13 @@ _edge_length_m = (
     if hasattr(_h3, "average_hexagon_edge_length")
     else (lambda res: _h3.edge_length(res, unit="m"))
 )
+_cell_to_latlng = (
+    getattr(_h3i, "cell_to_latlng", None) or getattr(_h3i, "h3_to_geo", None)
+)
+_cell_to_boundary = (
+    getattr(_h3i, "cell_to_boundary", None)
+    or getattr(_h3i, "h3_to_geo_boundary", None)
+)
 
 MAX_RES = 15
 _SPAN_DEG = 0.5
@@ -66,10 +73,67 @@ def _to_latlng(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lat, lng
 
 
+# Real H3 cell widths vary by location (icosahedron distortion shrinks
+# cells near pentagon-adjacent faces), so the GLOBAL-AVERAGE edge length
+# is not a safe lower bound for the k-ring(1) coverage proof: cells on
+# the mapped patch that are narrower than average could let two points
+# within ``radius`` miss the (cell, 1-ring) overlap and silently drop
+# join pairs. Fix: measure the true minimum incircle width over cells
+# sampled across the mapped 0.5-degree patch (once per res, cached) and
+# bound the proofs with THAT. The average-based analytic value scaled by
+# a conservative 0.7 (global min/avg edge ratio comfortably above that)
+# is the fallback when the boundary API is unavailable.
+_SAFETY = 0.7
+_min_width_cache: dict[int, float] = {}
+
+
+def _seg_dist(px, py, ax, ay, bx, by) -> float:
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0.0:
+        return math.hypot(px - ax, py - ay)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def _measured_min_width(res: int) -> float | None:
+    """True minimum incircle diameter (2 x min center-to-edge distance),
+    in planar units, over cells sampled on a 17x17 grid spanning the
+    mapped patch. None when the boundary/center APIs are missing."""
+    if _cell_to_latlng is None or _cell_to_boundary is None:
+        return None
+
+    def to_xy(lat: float, lng: float) -> tuple[float, float]:
+        return ((lng / _SPAN_DEG + 0.5) * EXTENT,
+                (lat / _SPAN_DEG + 0.5) * EXTENT)
+
+    cells = set()
+    for gx in np.linspace(0.0, float(EXTENT), 17):
+        for gy in np.linspace(0.0, float(EXTENT), 17):
+            lat, lng = _to_latlng(np.array([gx]), np.array([gy]))
+            cells.add(_latlng_to_cell(float(lat[0]), float(lng[0]), res))
+    best = math.inf
+    for c in cells:
+        clat, clng = _cell_to_latlng(c)
+        cx, cy = to_xy(clat, clng)
+        bnd = [to_xy(la, ln) for la, ln in _cell_to_boundary(c)]
+        for i in range(len(bnd)):
+            ax, ay = bnd[i]
+            bx, by = bnd[(i + 1) % len(bnd)]
+            best = min(best, 2.0 * _seg_dist(cx, cy, ax, ay, bx, by))
+    return best if math.isfinite(best) else None
+
+
 def cell_size(res: int) -> float:
-    """Minimum hexagon width (incircle diameter = edge * sqrt(3)) at
-    ``res``, in planar units — the quantity the coverage proofs bound."""
-    return _edge_length_m(res) * math.sqrt(3.0) / M_PER_UNIT
+    """Minimum hexagon width at ``res`` in planar units — the quantity
+    the coverage proofs bound. Measured over the mapped patch (cached);
+    average-based analytic value x _SAFETY as the fallback."""
+    if res not in _min_width_cache:
+        m = _measured_min_width(res)
+        if m is None:
+            m = _edge_length_m(res) * math.sqrt(3.0) / M_PER_UNIT * _SAFETY
+        _min_width_cache[res] = m
+    return _min_width_cache[res]
 
 
 def res_for_radius(radius: float) -> int:

@@ -420,12 +420,20 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
     banded = banded.join(ok, ["band", "bucket"], "left_semi")
     a = banded.select(F.col(id_col).alias("a_id"), F.col("_v").alias("va"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b_id"), F.col("_v").alias("vb"), "band", "bucket")
+    # cosine is computed INSIDE the bucket-join stage so the cross-band
+    # pair dedup shuffles only (a_id, b_id, cosine) — never the dim-sized
+    # va/vb arrays (at 64-1536 dims those multiply the pair-exchange bytes
+    # by ~2x dim for columns functionally determined by the ids). Same
+    # trim as hamming_near_pairs. The threshold filter also runs before
+    # the distinct, shrinking the exchange to surviving pairs only.
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "va", "vb")
-        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id", "b_id",
+            cosine_sim(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["a_id", "b_id", "cosine"])
     )
-    return pairs.select(
-        "a_id", "b_id", cosine_sim(F.col("va"), F.col("vb")).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    return pairs

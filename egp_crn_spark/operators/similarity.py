@@ -176,7 +176,16 @@ def _assign_matmul(sel: DataFrame, C: np.ndarray) -> DataFrame:
                 continue
             cv = b.column(b.schema.get_field_index("cv"))
             flat = cv.flatten()
-            X = flat.to_numpy(zero_copy_only=False).reshape(n, -1)
+            # a null or ragged vector would make flatten() drop/shift
+            # values and silently misalign every later row's cell —
+            # fail loudly instead, naming the column
+            if cv.null_count or len(flat) != n * Cb.shape[1]:
+                raise ValueError(
+                    f"ivf_assign: column 'cv' has nulls or ragged "
+                    f"vectors (nulls={cv.null_count}, values={len(flat)}, "
+                    f"expected {n} x {Cb.shape[1]})"
+                )
+            X = flat.to_numpy(zero_copy_only=False).reshape(n, Cb.shape[1])
             if X.dtype != np_t:
                 X = X.astype(np_t)
             sims = X @ Cb.T
@@ -307,10 +316,17 @@ def ivf_probe(
     if broadcast_queries:
         probes = F.broadcast(probes)
     # norms hoisted per row (see brute_force_topk) — bit-identical cosine
+    # No pair dedup needed: ivf_assign places each corpus vector in exactly
+    # ONE cell and the nprobe probe cells per query are distinct, so a
+    # (q_id, n_id) pair can meet at most once in this equi-join. A
+    # dropDuplicates here would add a full extra exchange of the widest
+    # intermediate in the serving path to remove duplicates that cannot
+    # exist. tests/test_pipeline_ops.py pins this uniqueness invariant so
+    # a future multi-assignment index variant can't silently double-count.
     scored = probes.join(index, "cell").filter(F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id",
         (_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
-    ).dropDuplicates(["q_id", "n_id"])
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -317,6 +317,20 @@ def v301_node_intersection(arcs: DataFrame, id_col: str = "segment_id",
 
 
 # ---------------------------------------------------------------- 302
+# The one persisted intermediate a v302 run leaves behind. Kept so a
+# REPEATED v302 (demo trials, re-validation sweeps) releases the prior
+# run's cached deadend blocks instead of accumulating them in executor
+# storage for the session lifetime; v302_release() frees the last one.
+_V302_PERSISTED: list[DataFrame] = []
+
+
+def v302_release() -> None:
+    """Unpersist the deadend intermediate of the most recent v302 call
+    (safe to call any time after its returned plan is materialized)."""
+    while _V302_PERSISTED:
+        _V302_PERSISTED.pop().unpersist(blocking=False)
+
+
 def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
                       id_col: str = "segment_id",
                       vertices: str = "vertices") -> DataFrame:
@@ -327,9 +341,13 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     # persisted: feeds BOTH the distance join (points) and the dead-arc
     # restriction of the connectivity join below — without the persist
     # the second consumer would re-run the whole deadends lineage
-    # (explode + node-count + semi-join) from scratch.
+    # (explode + node-count + semi-join) from scratch. The PREVIOUS
+    # call's cached blocks are released here (the return value is lazy,
+    # so the current ones must outlive this function).
+    v302_release()
     dead = (N.deadends(arcs, id_col, vertices)
             .withColumnRenamed(id_col, "src_id").persist())
+    _V302_PERSISTED.append(dead)
     # p_id = src_id ALONE — the deadend node key is never consumed past
     # this join, so carrying it (a ~20-char string on every k-ring-
     # exploded candidate row) would only widen the join shuffle. The two

@@ -211,7 +211,8 @@ def test_ivf_float32_index(spark, embeddings):
     )
     C = SIM.train_centroids(embeddings, ncells=8, sample=512)
     idx32 = SIM.ivf_assign(embeddings, C, method="matmul", dtype="float32")
-    assert str(idx32.schema["cv"].dataType) == "ArrayType(FloatType(), True)"
+    from pyspark.sql.types import ArrayType, FloatType
+    assert idx32.schema["cv"].dataType == ArrayType(FloatType())
     idx64 = SIM.ivf_assign(embeddings, C, method="matmul")
     a = idx32.select("n_id", "cell").toPandas().set_index("n_id").cell
     b = idx64.select("n_id", "cell").toPandas().set_index("n_id").cell
@@ -415,6 +416,27 @@ def test_ivf_build_probe_reuse(spark, embeddings):
         key = ["q_id", "n_id", "rank"]
         assert sorted(map(tuple, got[key].values.tolist())) == \
                sorted(map(tuple, want[key].values.tolist()))
+
+
+def test_ivf_probe_pair_uniqueness(spark, embeddings):
+    """The single-cell-assignment invariant that lets ivf_probe skip a
+    pair dedup: ivf_assign places each corpus vector in exactly ONE cell
+    and the nprobe probe cells per query are distinct, so a (q_id, n_id)
+    pair meets at most once in the probe equi-join. With k large enough
+    to keep every scored candidate, no pair may repeat — a future
+    multi-assignment index variant would break this and double-count."""
+    from egp_crn_spark.operators.similarity import (
+        ivf_assign, ivf_probe, train_centroids)
+
+    C = train_centroids(embeddings, ncells=4)
+    index = ivf_assign(embeddings, C)
+    q = embeddings.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    all_pairs = ivf_probe(q, index, C, k=10**9, nprobe=4)
+    dup = (all_pairs.groupBy("q_id", "n_id").count()
+           .filter("count > 1").count())
+    assert dup == 0
 
 
 def test_phash_near_dup_planted(spark):

@@ -79,6 +79,22 @@ def test_ivf_probe_broadcasts_queries_never_shuffles_index(spark):
     assert "SortMergeJoin" not in p, "index side must never sort-merge-shuffle"
 
 
+def test_embedding_cosine_pair_distinct_is_narrow(spark):
+    """The near-dup pair dedup must shuffle only (a_id, b_id, cosine) —
+    never the dim-sized va/vb vector arrays (at 64-1536 dims those
+    multiply the pair-exchange bytes by ~2 x dim for columns the ids
+    already determine). Cosine is computed INSIDE the bucket-join stage;
+    the distinct's aggregate keys are the three narrow columns."""
+    df = _plan(spark, "embedding_cosine_dup")
+    p = plans.physical_plan(df)
+    assert re.search(
+        r"HashAggregate\(keys=\[a_id#\d+L?, b_id#\d+L?,[^\]]*cosine", p), \
+        "pair distinct must key on (a_id, b_id, cosine)"
+    assert not re.search(r"HashAggregate\(keys=\[[^\]]*\bv[ab]#", p) and \
+        not re.search(r"hashpartitioning\([^)]*\bv[ab]#\d+", p), \
+        "no vector column may cross the pair-dedup exchange"
+
+
 def test_minhash_stays_jvm(spark):
     df = _plan(spark, "minhash_lsh_dup")
     assert not plans.has_python_eval(df), "minhash/banding/jaccard are pure Column"

@@ -83,8 +83,9 @@ def main() -> None:
     run("refine_kernel", kernel_df)
 
     # IVF centroid assignment: the broadcast-matmul quantizer (one BLAS
-    # X @ C.T per Arrow batch in mapInPandas) over 1M x 64-dim vectors at
-    # 64 cells — BLAS-bound per-core compute, the ANN index-build stage.
+    # X @ C.T per Arrow batch in mapInArrow — similarity._assign_matmul)
+    # over 1M x 64-dim vectors at 64 cells — BLAS-bound per-core
+    # compute, the ANN index-build stage.
     n_vecs = 1_000_000
     vec_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
