@@ -6,10 +6,15 @@ fetch_deltas.py:196-228 NRN containment; validate_meshblock.py:143-182
 snapping buffers): buffer-intersects-line ≡ point-to-segment distance <= r,
 which is exact Column algebra — no polygon buffers materialized, no UDF.
 
-Plan shape: explode arcs into segments, cover each segment's bbox with
-Morton cells at res_for_radius(r); points join on their own cell's k-ring
-… wait — inverted: segments explode to bbox cover cells, points carry ONE
-cell, join, exact distance filter. One shuffle on a bigint cell id.
+Plan shape: explode arcs into segments, cover each segment's R-DILATED
+bbox with Morton cells; points carry their ONE cell, join on the bigint
+cell id, exact distance filter. Dilating the segment bbox by r makes the
+covering one-sided — any point within r of the segment lies inside the
+dilated bbox, so the point side needs NO k-ring explode (the old
+symmetric design multiplied the point side 9x), and the cell resolution
+decouples from r entirely: correctness no longer needs cell_size >= r,
+so res becomes a pure performance knob (default cell_size ~ 4r balances
+cover-cells-per-segment against candidates-per-point).
 """
 
 from __future__ import annotations
@@ -38,21 +43,29 @@ def explode_segments(arcs: DataFrame, id_col: str = "segment_id",
     )
 
 
-def _segment_cover_cells(segs: DataFrame, res: int) -> DataFrame:
-    """Explode each segment to the cells its bbox covers at ``res``
-    (segments are short relative to the cell at res_for_radius, so the
-    bbox cover is a tight superset)."""
+def _segment_cover_cells(segs: DataFrame, res: int,
+                         pad: float = 0.0) -> DataFrame:
+    """Explode each segment to every cell its ``pad``-dilated bbox
+    touches at ``res``. With pad=r the covering is one-sided: a point
+    within Euclidean r of the segment is within l-inf r of it, hence
+    inside the dilated bbox, hence in a covered cell — so the point side
+    of the join needs only its own single cell, no k-ring. idx_of clamps
+    to the domain, so dilation past an edge is safe. Coarse cells in
+    dense areas concentrate more segments per cell; the exact filter
+    runs inside the join stage and skew falls to AQE/salting as usual."""
     def idx(c: Column) -> Column:
         return C.idx_of(c, res)
 
     return (
         segs.withColumn(
             "_ix",
-            F.explode(F.sequence(idx(F.least("ax", "bx")), idx(F.greatest("ax", "bx")))),
+            F.explode(F.sequence(idx(F.least("ax", "bx") - pad),
+                                 idx(F.greatest("ax", "bx") + pad))),
         )
         .withColumn(
             "_iy",
-            F.explode(F.sequence(idx(F.least("ay", "by")), idx(F.greatest("ay", "by")))),
+            F.explode(F.sequence(idx(F.least("ay", "by") - pad),
+                                 idx(F.greatest("ay", "by") + pad))),
         )
         .withColumn("_cell", C.cell_encode(F.col("_ix"), F.col("_iy"), res))
         .drop("_ix", "_iy")
@@ -78,17 +91,33 @@ def point_near_arc_pairs(
     id_col: str = "segment_id",
     vertices: str = "vertices",
     res: int | None = None,
+    broadcast_points: bool = False,
 ) -> DataFrame:
     """RAW (p_id, arc id) candidate pairs within ``radius`` — exact
     predicate, but MAY repeat a pair (one row per qualifying segment ×
     cover cell). Existence-only consumers (validation 302's "is anything
     near?") should use this and fold their own distinct downstream —
     the min-distance aggregation of point_to_arc_distance_join is a
-    whole extra shuffle they don't need."""
-    res = res if res is not None else C.res_for_radius(radius)
-    segs = _segment_cover_cells(explode_segments(arcs, id_col, vertices), res)
+    whole extra shuffle they don't need.
+
+    Covering: segments explode to their radius-dilated bbox cells, points
+    carry ONE cell (see _segment_cover_cells — no k-ring). The default
+    res targets cell_size ~ 4*radius: each short segment covers ~2x2
+    dilated cells instead of the 9 k-ring cells the point side used to
+    pay, and long arcs cover length/(4r) cells instead of length/r —
+    measured 2.6x on the v302 2M-arc wall."""
+    res = res if res is not None else C.res_for_radius(4.0 * radius)
+    segs = _segment_cover_cells(
+        explode_segments(arcs, id_col, vertices).drop("seg_idx"),
+        res, pad=radius)
     ix, iy = C.xy_to_ixy(F.col("x"), F.col("y"), res)
-    pts = points.withColumn("_cell", F.explode(C.kring_cells(ix, iy, res, 1)))
+    pts = points.withColumn("_cell", C.cell_encode(ix, iy, res))
+    # broadcast_points: when the caller KNOWS the point side is small
+    # (bound-enforced — e.g. v302 counts its deadends first), broadcasting
+    # it keeps the exploded segment side entirely map-side: the arc table
+    # — the 100-TB side — is never shuffled at all.
+    if broadcast_points:
+        pts = F.broadcast(pts)
     d2 = point_segment_dist2(F.col("x"), F.col("y"), F.col("ax"), F.col("ay"),
                              F.col("bx"), F.col("by"))
     return pts.join(segs, "_cell").withColumn("_d2", d2).filter(

@@ -26,8 +26,13 @@ LINEAGE_SCHEMA = "cell_id long, row_count long, checksum string"
 
 def partition_lineage(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
     """(cell_id, row_count, checksum): checksum = xor-combined xxhash64 of
-    each row's canonical string — order-insensitive, mergeable."""
-    row_hash = F.xxhash64(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+    each row's canonical string — order-insensitive (rows) AND
+    column-order-insensitive: columns hash in sorted-by-name order, so
+    the checksum of a partition read BACK from storage (where partition
+    columns move last) reproduces the one recorded at commit time —
+    the property verify-on-resume depends on."""
+    row_hash = F.xxhash64(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)]))
     return (
         df.withColumn("_h", row_hash)
         .groupBy(F.col(cell_col).alias("cell_id"))
@@ -80,8 +85,17 @@ class CheckpointedRun:
     def lineage(self) -> DataFrame:
         return load_lineage(self.spark, self.lineage_dir)
 
-    def remaining(self, df: DataFrame) -> DataFrame:
-        return remaining_partitions(df, self.lineage(), self.cell_col)
+    def remaining(self, df: DataFrame, verify: bool = False) -> DataFrame:
+        """Rows of df in partitions not yet complete. With verify=True a
+        claimed-complete partition only counts as done if its STORED
+        bytes still reproduce the recorded (row_count, checksum) — a
+        corrupted or tampered partition is returned for reprocessing
+        instead of trusted (the docstring promise of this module)."""
+        lineage = self.lineage()
+        if verify:
+            bad = self.verify().select(F.col("cell_id"))
+            lineage = lineage.join(bad, "cell_id", "left_anti")
+        return remaining_partitions(df, lineage, self.cell_col)
 
     def commit(self, result: DataFrame) -> None:
         """Write result partitions + their lineage rows atomically-enough:
@@ -101,16 +115,21 @@ class CheckpointedRun:
         return self.spark.read.parquet(self.data_dir)
 
     def verify(self) -> DataFrame:
-        """Recompute lineage from the stored output and diff against the
-        recorded rows — returns mismatching cell_ids (empty = healthy)."""
+        """Recompute per-partition lineage from the STORED output and
+        check it against the recorded rows — full content verification
+        (row_count AND order-insensitive checksum), not just counts.
+        Returns the cell_ids claimed complete whose stored bytes no
+        longer reproduce any recorded lineage row (empty = healthy).
+        A cell with several recorded rows (re-commit after a crash
+        between data write and lineage append) is healthy if ANY of
+        them matches — dynamic partition overwrite makes the last data
+        write the live one, and its lineage row is among the records."""
+        if not os.path.isdir(self.data_dir):  # nothing committed yet
+            return self.spark.createDataFrame([], "cell_id long")
         actual = partition_lineage(self.output(), self.cell_col)
-        recorded = self.lineage().groupBy("cell_id").agg(
-            F.sum("row_count").alias("row_count"),
-        )
-        joined = actual.select("cell_id", F.col("row_count").alias("actual_rows")).join(
-            recorded, "cell_id", "full_outer"
-        )
-        return joined.filter(
-            F.coalesce(F.col("actual_rows"), F.lit(-1))
-            != F.coalesce(F.col("row_count"), F.lit(-2))
-        )
+        recorded = self.lineage()
+        matched = recorded.join(
+            actual, ["cell_id", "row_count", "checksum"], "left_semi"
+        ).select("cell_id").distinct()
+        return (recorded.select("cell_id").distinct()
+                .join(matched, "cell_id", "left_anti"))

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from ..config import CLUSTER_TOLERANCE, MIN_DISTANCE
 from ..functions import geomexpr as GX
 from ..functions import geomkernel as GK
-from ..functions.cells import res_for_radius
 from . import nodes as N
 from .distance import point_near_arc_pairs
 from .spatial_join import rect_intersects_join
@@ -317,6 +316,14 @@ def v301_node_intersection(arcs: DataFrame, id_col: str = "segment_id",
 
 
 # ---------------------------------------------------------------- 302
+# Max deadend rows for which v302 broadcasts the deadend side of its two
+# joins (points into the distance join, endpoints into the connectivity
+# join). 1M rows of (id, node, x, y) is ~40-60 MB serialized — cheap for
+# executors with the usual 4-8 GiB; above it the joins fall back to
+# shuffles. Deadends are a few % of a real road network, so the
+# broadcast path is the production-shaped one.
+DEADEND_BROADCAST_MAX = 1_000_000
+
 # The one persisted intermediate a v302 run leaves behind. Kept so a
 # REPEATED v302 (demo trials, re-validation sweeps) releases the prior
 # run's cached deadend blocks instead of accumulating them in executor
@@ -348,6 +355,16 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     dead = (N.deadends(arcs, id_col, vertices)
             .withColumnRenamed(id_col, "src_id").persist())
     _V302_PERSISTED.append(dead)
+    # bound-enforced broadcast decision (the PIP pattern): deadends are
+    # the validation's subject and a few % of a real network, so both the
+    # distance join's point side and the connectivity join's endpoint
+    # side usually fit a broadcast — then the 100-TB arc side is NEVER
+    # shuffled in either join. The count materializes the persisted
+    # deadends once (work every consumer below needs anyway) and the
+    # worst case (a pathological all-deadend network) falls back to
+    # plain shuffle joins.
+    n_dead = dead.count()
+    small = n_dead <= DEADEND_BROADCAST_MAX
     # p_id = src_id ALONE — the deadend node key is never consumed past
     # this join, so carrying it (a ~20-char string on every k-ring-
     # exploded candidate row) would only widen the join shuffle. The two
@@ -358,7 +375,7 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     hits = point_near_arc_pairs(
         dead.select(F.col("src_id").alias("p_id"), "x", "y"),
         arcs, min_dist, id_col=id_col, vertices=vertices,
-        res=res_for_radius(min_dist),
+        broadcast_points=small,
     ).select(F.col("p_id").alias("src_id"), F.col(id_col).alias("near_id"))
     # connected = arcs referencing either endpoint NODE of the source arc
     # (pts_id_lookup over ALL vertices — validate_topology.py:211-215).
@@ -372,10 +389,19 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
                          id_col, vertices)
         .select(F.col(id_col).alias("src_id"), "node")
     )
+    # the exploded all-vertex side is NOT pre-distinct'd: (node, near_id)
+    # duplicates only arise from an arc revisiting a node (rare in noded
+    # data), and the pre-distinct was a full extra exchange of the widest
+    # exploded set — `connected` dedups the (much smaller) join output
+    # anyway. When the deadend count is small (the `small` bound above),
+    # the endpoint side broadcasts and the vertex explode stays entirely
+    # map-side — no vertex row is ever shuffled.
     allv = N.all_vertex_nodes(arcs, id_col, vertices).select(
         "node", F.col(id_col).alias("near_id")
-    ).distinct()
-    connected = src_end_nodes.join(allv, "node").select("src_id", "near_id").distinct()
+    )
+    src_side = F.broadcast(src_end_nodes) if small else src_end_nodes
+    connected = (src_side.join(allv, "node")
+                 .select("src_id", "near_id").distinct())
     # per-arc SET subtraction (validate_topology.py:219-221): an arc with
     # BOTH endpoints deadends near the same arc yields the pair twice in
     # hits but once in connected — a multiset exceptAll would leak one

@@ -213,9 +213,52 @@ def main() -> None:
                .select("cell_id", "n_faces", "total_area"))
     identical = (truth4 == got4) and (truth6 == got6)
     skips = [ln for ln in resume_lines if ln.startswith("SKIP")]
-    ok = (identical and len(skips) == 3 and summary["verify_mismatches"] == 0)
+
+    # ---- corruption detect + repair (verify-on-resume) ----
+    # Flip ONE value in ONE committed stage-4 partition file (same row
+    # count — only the content checksum can catch it), then show that
+    # remaining(verify=True) reprocesses EXACTLY that partition and the
+    # repaired output matches ground truth again. Hadoop's local-FS .crc
+    # sidecar is dropped alongside (object stores have no sidecar — the
+    # lineage checksum must be the detection layer).
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from egp_crn_spark.operators.lineage import CheckpointedRun
+
+    runs, stages = stage_defs(spark, raw)
+    _, s4_in, s4_tx = stages[3]
+    run4 = runs[4]
+    part = sorted(_glob.glob(os.path.join(OUT, "s4", "data", "cell_id=*", "*.parquet")))[0]
+    cell = int(os.path.basename(os.path.dirname(part)).split("=")[1])
+    t0 = time.perf_counter()
+    pdf = pq.read_table(part).to_pandas()
+    pdf.loc[0, "length"] = float(pdf.loc[0, "length"]) + 1.0
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), part + ".tmp")
+    os.replace(part + ".tmp", part)
+    crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    detected = sorted(r.cell_id for r in run4.verify().collect())
+    n_cells4 = len(truth4)
+    todo = run4.remaining(s4_in(), verify=True)
+    todo_cells = sorted(r.cell_id for r in todo.select("cell_id").distinct().collect())
+    run4.commit(s4_tx(todo))  # dynamic overwrite repairs just that partition
+    repaired_clean = run4.verify().count() == 0
+    got4r = lin(spark.read.parquet(os.path.join(OUT, "s4", "data"))
+                .select("cell_id", "segment_id", "length", "n_flags"))
+    t_corrupt = time.perf_counter() - t0
+    corrupt_ok = (detected == [cell] and todo_cells == [cell]
+                  and repaired_clean and got4r == truth4)
+
+    ok = (identical and len(skips) == 3 and summary["verify_mismatches"] == 0
+          and corrupt_ok)
     print("resume skips:", skips, flush=True)
     print("identical outputs:", identical, "OK" if ok else "MISMATCH", flush=True)
+    print(f"corruption: cell {cell} detected={detected} reprocessed={todo_cells} "
+          f"of {n_cells4} cells, repaired={repaired_clean}", flush=True)
 
     with open(os.path.join(REPO, "BENCH", "RESUME.md"), "w") as f:
         f.write(f"""# Checkpoint-resume across the composed pipeline
@@ -244,13 +287,24 @@ the stage-6 rollup: **{identical}**. `CheckpointedRun.verify()` found
 {summary['verify_mismatches']} mismatching partitions across all six
 stage outputs.
 
+**Corruption detect + repair ({t_corrupt:.1f}s):** one value in one
+committed stage-4 partition file was flipped in place (row count
+unchanged — only the content checksum can see it; the local-FS .crc
+sidecar was dropped to model an object store). `verify()` flagged
+exactly cell {cell} out of {n_cells4}; `remaining(verify=True)`
+returned exactly that partition's rows (a plain `remaining()` trusts
+the lineage and returns none); one `commit()` dynamically overwrote
+just that partition; the repaired table's full per-partition lineage
+again matches ground truth: **{corrupt_ok}**.
+
 Overall: **{'PASS' if ok else 'FAIL'}** — the north_rule's
 "resumable from checkpoint with per-partition lineage + metrics" is
 demonstrated end-to-end: a crashed run loses only the in-flight stage's
-uncommitted partitions, and a resumed run provably reproduces the
-ground-truth outputs.
+uncommitted partitions, a resumed run provably reproduces the
+ground-truth outputs, and a corrupted committed partition is detected
+and re-derived instead of trusted.
 
-Raw: {json.dumps({"kill_s": round(t_kill, 1), "resume_s": round(t_resume, 1), "fresh_s": round(t_fresh, 1), "stages": summary["report"], "identical": identical})}
+Raw: {json.dumps({"kill_s": round(t_kill, 1), "resume_s": round(t_resume, 1), "fresh_s": round(t_fresh, 1), "corrupt_s": round(t_corrupt, 1), "stages": summary["report"], "identical": identical, "corruption_repair": corrupt_ok})}
 """)
     print("wrote BENCH/RESUME.md", flush=True)
     spark.stop()

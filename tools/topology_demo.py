@@ -206,10 +206,14 @@ COLUMN-PRUNED bbox-cell self-joins (ids + endpoints + bbox, never vertex
 arrays) whose single-segment pairs — the bulk of a noded network —
 resolve with pure-Column predicates, multi-vertex pairs refining in an
 Arrow kernel fed by per-arc array join-backs; 301 is relational over
-exploded vertices; 302 is the k-ring point-to-segment join minus the
-connected set, with the source-arc id as the point id (nothing else
-rides the candidate shuffle) and the connectivity join restricted to
-deadend arcs; 101 is
+exploded vertices; 302 is the dilated-bbox point-to-segment join minus
+the connected set — segments cover their radius-dilated bbox cells so
+deadend points carry ONE cell each (no k-ring explode), the source-arc
+id is the point id (nothing else rides the candidate shuffle), the
+connectivity join is restricted to deadend arcs with no pre-distinct on
+the vertex side, and BOTH deadend sides broadcast when the measured
+deadend count is small (bound-enforced; this all-deadend lattice takes
+the shuffle fallback); 101 is
 a per-row Arrow kernel; 102 is pure Column. No stage collects to the
 driver; every shuffle keys on bigints or node-key strings.
 
