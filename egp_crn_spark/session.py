@@ -51,11 +51,19 @@ def get_session(
     cores: int | None = None,
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` (or SPARK_GRAFT_MASTER) overrides the default
+    local[cores] — e.g. ``local-cluster[4,8,4096]`` launches 4 real
+    separate executor JVMs with 8 cores / 4 GiB each, the sandbox's
+    closest shape to a multi-executor cluster (real serialization, real
+    network shuffle, per-executor memory). ``cores`` still sizes shuffle
+    parallelism, so pass the cluster's TOTAL core count with it."""
     cores = cores or env_cpus()
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # shuffle partitions ~ cores: default 200 over-parallelizes local runs
         .config("spark.sql.shuffle.partitions", str(cores))

@@ -100,3 +100,112 @@ def streaming_dedup(stream: DataFrame, id_col: str = "doc_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hamming_near_dup(stream: DataFrame, sig_col: str,
+                               id_col: str, max_hamming: int = 2,
+                               max_bucket: int = 1000) -> DataFrame:
+    """Custom stateful operator: NEAR-dup pairs of 64-bit signatures
+    ACROSS micro-batches — the operator a 100-TB ingestion pipeline runs
+    continuously (each arriving image/document is checked against
+    everything already ingested). Streaming twin of the batch
+    ``dedup.hamming_near_pairs`` (same pigeonhole banding: a pair within
+    ``max_hamming`` shares at least one exact band, so candidate recall
+    is guaranteed).
+
+    State = per (band, bucket) group, the (id, signature) list seen so
+    far. Size bound: each item lives in exactly (max_hamming + 1)
+    groups, so total state is (max_hamming + 1) x N 16-byte entries,
+    hash-sharded across groups by the state store. The per-group
+    ``max_bucket`` cap is the streaming form of the batch mega-bucket
+    skew guard: a group that exceeds it SATURATES — it stops emitting
+    pairs and stops growing its state (the batch cap drops such buckets
+    wholesale; the streaming cap additionally keeps the pairs emitted
+    before saturation, since emitted rows cannot be recalled).
+
+    A pair within threshold in k bands is emitted k times (band groups
+    are independent); downstream consumers dedup on (a_id, b_id) — kept
+    OUT of this operator because chaining a second stateful dedup onto
+    an applyInPandasWithState stream is version-sensitive. Emitted rows:
+    (a_id, b_id, hamming) with a_id < b_id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_bands = max(max_hamming + 1, 2)
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    banded = stream.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(sig_col).cast("long").alias("sh"),
+    ).select(
+        "item_id", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright("sh", offsets[b])
+                         .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("bucket"))
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("item_id", "sh", "bb.band", "bb.bucket")
+
+    def pair_fn(key, pdfs, state):
+        if state.exists:
+            ids, shs, sat = state.get
+            ids, shs, sat = list(ids), list(shs), bool(sat)
+        else:
+            ids, shs, sat = [], [], False
+        out_a, out_b, out_h = [], [], []
+        for pdf in pdfs:
+            order = pdf.sort_values("item_id")  # deterministic within batch
+            for nid, nsh in zip(order["item_id"], order["sh"]):
+                nid, nsh = int(nid), int(nsh)
+                if not sat:
+                    for oid, osh in zip(ids, shs):
+                        if oid == nid:
+                            continue
+                        h = bin((nsh ^ osh) & 0xFFFFFFFFFFFFFFFF).count("1")
+                        if h <= max_hamming:
+                            a, b = (oid, nid) if oid < nid else (nid, oid)
+                            out_a.append(a)
+                            out_b.append(b)
+                            out_h.append(h)
+                    ids.append(nid)
+                    shs.append(nsh)
+                    if len(ids) > max_bucket:
+                        sat = True  # skew guard: stop pairing AND growing
+        state.update((ids, shs, sat))
+        yield pd.DataFrame({"a_id": out_a, "b_id": out_b,
+                            "hamming": pd.array(out_h, dtype="int32")})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        pair_fn,
+        outputStructType="a_id long, b_id long, hamming int",
+        stateStructType="ids array<long>, shs array<long>, sat boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_phash_near_dup(images: DataFrame, phash_col: str = "phash",
+                             id_col: str = "image_id", max_hamming: int = 2,
+                             max_bucket: int = 1000) -> DataFrame:
+    """Streaming image near-dup on the phash column — the continuous form
+    of operators/images.phash_near_dup."""
+    return streaming_hamming_near_dup(images, phash_col, id_col,
+                                      max_hamming, max_bucket)
+
+
+def streaming_simhash_near_dup(docs: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", max_hamming: int = 3,
+                               max_bucket: int = 1000) -> DataFrame:
+    """Streaming text near-dup: per-row Column-expression simhash64 (no
+    aggregation, so it streams map-side) + the shared stateful hamming
+    pairing — the continuous form of operators/dedup.dedup_simhash."""
+    from ..operators.dedup import simhash64
+
+    sigs = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sh"))
+    return streaming_hamming_near_dup(sigs, "_sh", id_col,
+                                      max_hamming, max_bucket)

@@ -167,3 +167,118 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.stop()
     got2 = spark.sql("select * from dedup_out").toPandas()
     assert sorted(got2.doc_id) == [1, 2, 4, 6, 7]
+
+
+def test_streaming_phash_near_dup_stream_equals_batch(spark, tmp_path):
+    """Planted phash families arriving across THREE micro-batches: the
+    union of streamed pair emissions (deduped — band groups emit
+    independently) must equal the batch hamming_near_pairs result over
+    the full data. Pairs span batches: the second/third family members
+    arrive after the first is already in state."""
+    import pandas as pd
+
+    from egp_crn_spark.operators.dedup import hamming_near_pairs
+    from egp_crn_spark.streaming import streaming_phash_near_dup
+
+    def i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def flip(v, *bits):
+        for b in bits:
+            v ^= 1 << b
+        return i64(v)
+
+    base_a, base_b = 0x5A5A5A5A5A5A5A5A, 0x0123456789ABCDEF
+    rows = {
+        1: flip(base_a), 2: flip(base_a, 3), 3: flip(base_a, 7, 40),
+        10: flip(base_b), 11: flip(base_b, 63),
+        20: flip(base_a, 1, 2, 9, 17, 33, 45, 52, 60),  # near nothing
+    }
+    batches = [[1, 10, 20], [2, 11], [3]]
+    src_dir = tmp_path / "ph_stream"
+    src_dir.mkdir()
+    stream = spark.readStream.schema("image_id long, phash long").parquet(str(src_dir))
+    q = (streaming_phash_near_dup(stream, max_hamming=2)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("phdup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    for i, ids in enumerate(batches):
+        pd.DataFrame({"image_id": ids,
+                      "phash": [rows[k] for k in ids]}
+                     ).to_parquet(src_dir / f"b{i}.parquet")
+        q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select distinct a_id, b_id, hamming from phdup_out").toPandas()
+    full = pd.DataFrame({"image_id": list(rows), "phash": list(rows.values())})
+    want = hamming_near_pairs(spark.createDataFrame(full), "phash",
+                              "image_id", max_hamming=2).toPandas()
+    got_set = set(map(tuple, got.astype("int64").values.tolist()))
+    want_set = set(map(tuple, want.astype("int64").values.tolist()))
+    assert got_set == want_set
+    assert want_set == {(1, 2, 1), (1, 3, 2), (10, 11, 1)}
+
+
+def test_streaming_simhash_near_dup_cross_batch(spark, tmp_path):
+    """Streaming text near-dup: per-row simhash64 + the shared stateful
+    hamming pairing finds a cross-batch duplicate; matches the batch
+    pairing over the same signatures."""
+    import pandas as pd
+
+    from egp_crn_spark.operators.dedup import hamming_near_pairs, simhash64
+    from egp_crn_spark.streaming import streaming_simhash_near_dup
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog",  # exact dup
+        3: "a completely different document about spark shuffles",
+    }
+    src_dir = tmp_path / "doc_stream"
+    src_dir.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src_dir))
+    q = (streaming_simhash_near_dup(stream, max_hamming=3)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("shdup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    for i, ids in enumerate([[1, 3], [2]]):
+        pd.DataFrame({"doc_id": ids, "text": [texts[k] for k in ids]}
+                     ).to_parquet(src_dir / f"b{i}.parquet")
+        q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select distinct a_id, b_id, hamming from shdup_out").toPandas()
+    full = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    want = hamming_near_pairs(full.select("doc_id", simhash64(F.col("text")).alias("sh")),
+                              "sh", "doc_id", max_hamming=3).toPandas()
+    got_set = set(map(tuple, got.astype("int64").values.tolist()))
+    want_set = set(map(tuple, want.astype("int64").values.tolist()))
+    assert got_set == want_set
+    assert (1, 2, 0) in got_set
+
+
+def test_streaming_near_dup_bucket_saturation(spark, tmp_path):
+    """The per-group cap: a degenerate bucket (many identical
+    signatures) saturates after max_bucket items — pairing stops, state
+    stops growing, and the query keeps running."""
+    import pandas as pd
+
+    from egp_crn_spark.streaming import streaming_phash_near_dup
+
+    n = 30
+    src_dir = tmp_path / "sat_stream"
+    src_dir.mkdir()
+    stream = spark.readStream.schema("image_id long, phash long").parquet(str(src_dir))
+    q = (streaming_phash_near_dup(stream, max_hamming=2, max_bucket=5)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sat_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    pd.DataFrame({"image_id": range(n), "phash": [12345] * n}
+                 ).to_parquet(src_dir / "b0.parquet")
+    q.processAllAvailable()
+    pd.DataFrame({"image_id": [100], "phash": [12345]}
+                 ).to_parquet(src_dir / "b1.parquet")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select distinct a_id, b_id from sat_out").toPandas()
+    # only pairs among the first 5-6 items per band group before the cap
+    # tripped; far fewer than the n*(n+1)/2 uncapped explosion
+    assert 0 < len(got) <= 3 * 6 * 5 / 2

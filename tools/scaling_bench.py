@@ -2,23 +2,34 @@
 
 The north rule's N→4N executor scaling criterion cannot use a real
 cluster in this sandbox; per driver instruction we evidence it by running
-the SAME jobs at local[8] and local[32] on IDENTICAL input and reporting
-throughput at both plus scaling efficiency = (T_32 / T_8) / 4 (T in
-rows/sec).
+the SAME jobs at two parallelism levels on IDENTICAL input and reporting
+throughput at both plus scaling efficiency = (T_hi / T_lo) / 4 (T in
+rows/sec). TWO shapes of the comparison are run:
+
+- threads:   local[8] vs local[32] — one JVM, thread scaling;
+- executors: local-cluster[1,8,4096] vs local-cluster[4,8,4096] —
+  literally 1 executor vs 4 executors (8 cores / 4 GiB each), REAL
+  separate executor JVMs with real serialization and network shuffle,
+  the sandbox's closest shape to the N→4N executor criterion. Still one
+  physical box though: all four executors share one memory bus and one
+  NVMe, so bandwidth-bound stages remain bus-limited — executor-shaped
+  numbers fix the JVM-sharing artifacts (GC, lock contention, shared
+  code cache), not the hardware ceiling.
 
 Methodology (this box is a shared, noisy VM — ~18% historical steal):
 - trials at the two levels are INTERLEAVED across alternating
-  subprocesses (8, 32, 8, 32, ...) so drift hits both levels equally;
+  subprocesses (lo, hi, lo, hi, ...) so drift hits both levels equally;
 - each subprocess times fresh DataFrames per trial (Spark reuses shuffle
   map output across actions on a shared DataFrame object);
 - min over trials = least-interference estimate;
-- three jobs with different bottlenecks are reported separately:
-  * tile_assign  — pure-JVM scan+agg (memory-bandwidth-bound: a single
-    JVM cannot add bandwidth with threads the way a real 4× executor
+- four jobs with different bottlenecks are reported separately:
+  * tile_assign  — pure-JVM scan+agg (memory-bandwidth-bound: neither
+    threads nor co-located executors add bandwidth the way a real 4×
     scale-out adds sockets; treat its efficiency as a lower bound),
   * pip_images   — hybrid JVM join + Arrow scalar-UDF refine,
   * refine_kernel — Python-compute-bound pandas-UDF kernel (the fleet's
-    per-core work; closest proxy for executor scale-out).
+    per-core work; closest proxy for executor scale-out),
+  * ivf_assign   — Arrow-buffer/BLAS-bound mapInArrow quantizer.
 """
 
 from __future__ import annotations
@@ -32,49 +43,61 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tools", "scaling_worker.py")
 
+JOBS = {
+    "tile_assign": ("tile assignment (phash→cell/tile, pure JVM scan+agg, 4×20M rows)",
+                    "memory-bandwidth-bound on one box"),
+    "pip_images": ("point-in-polygon join (cell prefilter + scalar-UDF refine)",
+                   "hybrid JVM + Arrow"),
+    "refine_kernel": ("exact-PIP refine kernel (Python-compute-bound pandas UDF)",
+                      "per-core compute; closest executor-scale-out proxy"),
+    "ivf_assign": ("IVF centroid assignment (broadcast-matmul mapInArrow, float32, 1M×64-dim, 64 cells)",
+                   "Arrow-buffer/memory-bandwidth-bound (vectors stream through one "
+                   "bus; BLAS pinned to 1 thread/worker — see session.py): "
+                   "treat like tile_assign as a lower bound"),
+}
 
-def run_worker(cpus: int, n_images: int) -> dict:
+MODES = {
+    # mode -> ((lo_master, lo_cpus), (hi_master, hi_cpus))
+    "threads": (("local[8]", 8), ("local[32]", 32)),
+    "executors": (("local-cluster[1,8,4096]", 8), ("local-cluster[4,8,4096]", 32)),
+}
+
+
+def run_worker(master: str, cpus: int, n_images: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_N_IMAGES=str(n_images))
+               SPARK_GRAFT_N_IMAGES=str(n_images),
+               SPARK_GRAFT_MASTER=master)
     out = subprocess.run([sys.executable, WORKER], env=env,
                          capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
 
-def main() -> None:
-    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "20000000"))
-    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
-    lo, hi = 8, 32
-    best: dict[int, dict[str, float]] = {lo: {}, hi: {}}
+def measure(mode: str, rounds: int, n_images: int):
+    (lo_m, lo_c), (hi_m, hi_c) = MODES[mode]
+    best: dict[int, dict[str, float]] = {lo_c: {}, hi_c: {}}
     job_rows: dict[str, int] = {}
     for _ in range(rounds):
-        for cpus in (lo, hi):
-            r = run_worker(cpus, n_images)
+        for master, cpus in ((lo_m, lo_c), (hi_m, hi_c)):
+            r = run_worker(master, cpus, n_images)
             job_rows.update(r.get("rows", {}))
             for job, sec in r["secs"].items():
                 cur = best[cpus].get(job)
                 best[cpus][job] = sec if cur is None else min(cur, sec)
-
-    jobs = {
-        "tile_assign": ("tile assignment (phash→cell/tile, pure JVM scan+agg, 4×20M rows)",
-                        "memory-bandwidth-bound in one JVM"),
-        "pip_images": ("point-in-polygon join (cell prefilter + scalar-UDF refine)",
-                       "hybrid JVM + Arrow"),
-        "refine_kernel": ("exact-PIP refine kernel (Python-compute-bound pandas UDF)",
-                          "per-core compute; closest executor-scale-out proxy"),
-        "ivf_assign": ("IVF centroid assignment (broadcast-matmul mapInArrow, float32, 1M×64-dim, 64 cells)",
-                       "Arrow-buffer/memory-bandwidth-bound (vectors stream through one "
-                       "bus; BLAS pinned to 1 thread/worker — see session.py): "
-                       "treat like tile_assign as a lower bound"),
-    }
     rows = []
-    for job, (label, note) in jobs.items():
+    for job, (label, note) in JOBS.items():
         n = job_rows.get(job, n_images)
-        t_lo = n / best[lo][job]
-        t_hi = n / best[hi][job]
-        eff = (t_hi / t_lo) / (hi / lo)
-        rows.append((label, note, t_lo, t_hi, eff))
+        t_lo = n / best[lo_c][job]
+        t_hi = n / best[hi_c][job]
+        rows.append((job, label, note, t_lo, t_hi, (t_hi / t_lo) / (hi_c / lo_c)))
+    return best, rows, (lo_c, hi_c)
+
+
+def main() -> None:
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "20000000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+    modes = os.environ.get("SPARK_GRAFT_SCALING_MODES", "threads,executors").split(",")
+    results = {m: measure(m, rounds, n_images) for m in modes}
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -83,36 +106,51 @@ def main() -> None:
         f.write(f"""# BENCH baseline — two-parallelism-level scaling evidence
 
 Generated {stamp} by tools/scaling_bench.py. Sandbox proxy for the
-N→4N-executor criterion (BASELINE.json north_rule): the same jobs run at
-`local[{lo}]` and `local[{hi}]` on identical input ({n_images:,} synthetic
-image rows), single JVM. Trials interleaved across alternating
-subprocesses, min-of-{rounds} per level (shared noisy VM, ~18% historical
-CPU steal in /proc/stat).
+N→4N-executor criterion (BASELINE.json north_rule): the same jobs on
+identical input ({n_images:,} synthetic image rows) at two parallelism
+levels, in TWO shapes — thread scaling inside one JVM
+(`local[8]` vs `local[32]`) and **executor scaling across four real
+separate executor JVMs** (`local-cluster[1,8,4096]` vs
+`local-cluster[4,8,4096]`: 1 executor vs 4 executors, 8 cores / 4 GiB
+each, real serialization + network shuffle). Trials interleaved across
+alternating subprocesses, min-of-{rounds} per level (shared noisy VM,
+~18% historical CPU steal in /proc/stat).
+""")
+        for mode in modes:
+            best, rows, (lo_c, hi_c) = results[mode]
+            title = ("Thread scaling — one JVM" if mode == "threads" else
+                     "Executor scaling — 1 vs 4 separate executor JVMs (N vs 4N executors)")
+            f.write(f"""
+## {title}
 
-| job | rows/sec @ local[{lo}] | rows/sec @ local[{hi}] | speedup | efficiency (target ≥0.8) |
+| job | rows/sec @ {lo_c} cores | rows/sec @ {hi_c} cores | speedup | efficiency (target ≥0.8) |
 |---|---|---|---|---|
 """)
-        for label, note, t_lo, t_hi, eff in rows:
-            f.write(f"| {label} | {t_lo:,.0f} | {t_hi:,.0f} | {t_hi / t_lo:.2f}× | {eff:.2f} |\n")
+            for _job, label, note, t_lo, t_hi, eff in rows:
+                f.write(f"| {label} | {t_lo:,.0f} | {t_hi:,.0f} | {t_hi / t_lo:.2f}× | {eff:.2f} |\n")
+            f.write(f"\nPer-job wall seconds (min over interleaved trials):\n\n")
+            f.write(f"| job | {lo_c} cores s | {hi_c} cores s |\n|---|---|---|\n")
+            for job in JOBS:
+                f.write(f"| {job} | {best[lo_c][job]:.2f} | {best[hi_c][job]:.2f} |\n")
         f.write("""
 Reading the numbers:
 - Efficiency = (T_hi/T_lo) / (32/8), T in rows/sec.
-- `local[N]` scales THREADS in one JVM sharing one memory bus and one
-  NVMe: bandwidth-bound stages (parquet decode, hash agg) hit the bus
-  ceiling well before 32 threads, so their thread-scaling efficiency is a
-  LOWER bound on executor-scaling efficiency — a real 4× executor
-  scale-out multiplies sockets, memory channels, and disks, which is
-  exactly what these stages need. The Python-compute-bound kernel is the
-  closest sandbox proxy for that regime.
+- The executor-shaped run is the honest sandbox rendering of "N and 4N
+  executors": separate JVM heaps, separate Python worker pools, real
+  shuffle serialization between executors. What it CANNOT multiply is
+  the hardware — all four executors still share one memory bus and one
+  NVMe, so bandwidth-bound stages (parquet decode, hash agg, Arrow
+  buffer streaming) hit the same bus ceiling as threads do, and their
+  efficiency here is a LOWER bound on a real cluster where 4× executors
+  means 4× sockets, memory channels, and disks.
+- The Python-compute-bound refine kernel is the closest proxy for the
+  regime a real scale-out lives in (per-core work, tiny payloads).
 - Raw-CPU control on this box: a multiprocessing busy-loop scales 8→32
   workers at ~0.90 efficiency, bounding what any framework can show here.
 """)
-        f.write("\nPer-job wall seconds (min over interleaved trials):\n\n")
-        f.write(f"| job | local[{lo}] s | local[{hi}] s |\n|---|---|---|\n")
-        for job in jobs:
-            f.write(f"| {job} | {best[lo][job]:.2f} | {best[hi][job]:.2f} |\n")
-    print(json.dumps({"best": best,
-                      "efficiency": {j: r[4] for j, r in zip(jobs, rows)}}))
+    print(json.dumps({m: {"best": results[m][0],
+                          "efficiency": {r[0]: round(r[5], 3) for r in results[m][1]}}
+                      for m in modes}))
     print("wrote", path)
 
 

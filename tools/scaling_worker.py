@@ -23,7 +23,14 @@ def main() -> None:
     cpus = int(os.environ["SPARK_GRAFT_CPUS"])
     n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "20000000"))
     img_path, bnd_path = ensure_images(n_images)
-    spark = get_session("scaling-worker", cores=cpus, driver_memory="24g")
+    # SPARK_GRAFT_MASTER may point at local-cluster[N,c,mMB] (real
+    # separate executor JVMs); give those executors a concrete heap
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_MASTER", "").startswith("local-cluster"):
+        extra["spark.executor.memory"] = os.environ.get(
+            "SPARK_GRAFT_EXECUTOR_MEM", "3g")
+    spark = get_session("scaling-worker", cores=cpus, driver_memory="24g",
+                        extra_conf=extra)
 
     # warm JVM + the Python worker daemon pool
     spark.range(1000).count()
