@@ -26,6 +26,22 @@ def node_key(pt: Column, decimals: int = COORD_DECIMALS) -> Column:
     )
 
 
+def node_key_packed(pt: Column, decimals: int = COORD_DECIMALS) -> Column:
+    """Packed integer node identity — struct<nx, ny> of
+    round(coord x 10^decimals): the same 5-decimal identity classes as
+    node_key but an equality key of two longs instead of a ~20-char
+    printf string (no format compute on every vertex, fixed 16-byte
+    join/aggregate keys). For INTERNAL joins only — any output that
+    mirrors the reference's printf node keys keeps node_key. Both
+    helpers are deterministic; mixing them on the two sides of one join
+    is the only unsupported use."""
+    s = float(10 ** decimals)
+    return F.struct(
+        F.round(F.element_at(pt, 1) * s).cast("long").alias("nx"),
+        F.round(F.element_at(pt, 2) * s).cast("long").alias("ny"),
+    )
+
+
 def endpoint_nodes(arcs: DataFrame, id_col: str = "segment_id",
                    vertices: str = "vertices") -> DataFrame:
     """One row per arc endpoint: (id, node, x, y, is_start)."""
@@ -49,16 +65,20 @@ def endpoint_nodes(arcs: DataFrame, id_col: str = "segment_id",
 
 
 def all_vertex_nodes(arcs: DataFrame, id_col: str = "segment_id",
-                     vertices: str = "vertices") -> DataFrame:
+                     vertices: str = "vertices",
+                     packed: bool = False) -> DataFrame:
     """One row per vertex (the reference's pts_id_lookup substrate,
-    validate_topology.py:132-134): (id, node, vertex_idx, n_vertices)."""
+    validate_topology.py:132-134): (id, node, vertex_idx, n_vertices).
+    ``packed=True`` keys nodes with node_key_packed (internal-join
+    callers whose node columns never reach an output)."""
+    key = node_key_packed if packed else node_key
     ex = arcs.select(
         F.col(id_col),
         F.size(vertices).alias("n_vertices"),
         F.posexplode(vertices).alias("vertex_idx", "pt"),
     )
     return ex.select(
-        id_col, "n_vertices", "vertex_idx", node_key(F.col("pt")).alias("node"),
+        id_col, "n_vertices", "vertex_idx", key(F.col("pt")).alias("node"),
         F.element_at("pt", 1).alias("x"), F.element_at("pt", 2).alias("y"),
     )
 

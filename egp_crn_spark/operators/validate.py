@@ -292,7 +292,11 @@ def v301_node_intersection(arcs: DataFrame, id_col: str = "segment_id",
     with an interior vertex (of a >2-vertex arc), where the node is
     referenced by more than one arc, flags every arc whose INTERIOR holds
     that point (validate_topology.py:235-272)."""
-    allv = N.all_vertex_nodes(arcs, id_col, vertices)
+    # packed node keys: every node column here is internal (output is
+    # flagged ids only), so the joins/distincts key on struct<long,long>
+    # instead of printf strings — no per-vertex format compute, 16-byte
+    # aggregate keys on the (node, id) distinct (the widest shuffle)
+    allv = N.all_vertex_nodes(arcs, id_col, vertices, packed=True)
     endpoints = allv.filter((F.col("vertex_idx") == 0) | (F.col("vertex_idx") == F.col("n_vertices") - 1))
     interiors = allv.filter(
         (F.col("n_vertices") > 2)
