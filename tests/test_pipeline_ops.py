@@ -375,6 +375,38 @@ def test_simhash_md5_matches_xxhash_structure(spark):
     assert (got.hamming <= 10).all()
 
 
+def test_v302_small_deadend_broadcast_path(spark):
+    """The bound-enforced v302 broadcast decision: with few deadends the
+    distance join's point side and the connectivity join's endpoint side
+    BROADCAST (the arc side is never shuffled); with the bound forced to
+    0 the same input takes the shuffle fallback. Both paths must flag
+    the same arcs."""
+    import pandas as pd
+
+    from egp_crn_spark.operators import validate as V
+    from egp_crn_spark import plans
+
+    def arc(sid, pts):
+        return {"segment_id": sid,
+                "vertices": [[float(x), float(y)] for x, y in pts]}
+
+    rows = [arc("road", [(0, 0), (100, 0)]),
+            arc("stub", [(50, 3), (50, 9)]),          # deadend near road
+            arc("far", [(300, 300), (400, 300)])]
+    net = spark.createDataFrame(pd.DataFrame(rows))
+    df_b = V.v302_min_distance(net)
+    assert plans.has_broadcast_join(df_b), "small deadend set must broadcast"
+    got_b = sorted(r.flagged_id for r in df_b.collect())
+
+    orig = V.DEADEND_BROADCAST_MAX
+    try:
+        V.DEADEND_BROADCAST_MAX = 0
+        got_s = sorted(r.flagged_id for r in V.v302_min_distance(net).collect())
+    finally:
+        V.DEADEND_BROADCAST_MAX = orig
+    assert got_b == got_s == ["road", "stub"]
+
+
 def test_simhash_banding_recall_exhaustive(spark):
     """Every pair within max_hamming MUST be produced (pigeonhole bands).
     Brute-force check against all-pairs hamming on the real signatures."""
