@@ -59,6 +59,7 @@ def rect_intersects_join(
     res: int,
     broadcast_b: bool = False,
     salt_hot: tuple[int, int] | None = None,
+    shuffle_hash_b: bool = False,
 ) -> DataFrame:
     """All (a, b) pairs whose axis-aligned rects intersect (touch counts).
 
@@ -83,6 +84,16 @@ def rect_intersects_join(
     bc = _rect_cover_cells(b, "b", res)
     if broadcast_b:
         bc = F.broadcast(bc)
+    elif shuffle_hash_b:
+        # SHUFFLE_HASH on the b-side skips BOTH sort passes of the
+        # default sort-merge join — measured 1.3x on the 2M-arc pair-
+        # candidates self-join, where the sorts were ~1/3 of the wall.
+        # Safe here because the per-partition build side is one cell
+        # range of cover rows (bounded by shuffle-partition sizing, and
+        # AQE's skew-join optimization also splits skewed SHJ
+        # partitions); callers with giant unsalted hot cells should
+        # prefer the default spill-friendly SMJ.
+        bc = bc.hint("shuffle_hash")
     if salt_hot is not None:
         threshold, n_salt = salt_hot
         from .skew import hot_keys

@@ -122,7 +122,8 @@ def _arc_pair_candidates(arcs: DataFrame, res: int, id_col: str, vertices: str,
         ("axmax", "bxmax"), ("aymax", "bymax"),
     ] + ([("ack", "bck")] if with_checksum else [])
     other = slim.select(*[F.col(a).alias(b) for a, b in renames])
-    pairs = rect_intersects_join(slim, other, res=res, salt_hot=salt_hot)
+    pairs = rect_intersects_join(slim, other, res=res, salt_hot=salt_hot,
+                                 shuffle_hash_b=True)
     return pairs.filter(F.col("a_id") < F.col("b_id"))
 
 
