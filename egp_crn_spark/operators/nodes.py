@@ -43,8 +43,12 @@ def node_key_packed(pt: Column, decimals: int = COORD_DECIMALS) -> Column:
 
 
 def endpoint_nodes(arcs: DataFrame, id_col: str = "segment_id",
-                   vertices: str = "vertices") -> DataFrame:
-    """One row per arc endpoint: (id, node, x, y, is_start)."""
+                   vertices: str = "vertices",
+                   packed: bool = False) -> DataFrame:
+    """One row per arc endpoint: (id, node, x, y, is_start).
+    ``packed=True`` keys nodes with node_key_packed (internal-join
+    callers only — see node_key_packed)."""
+    key = node_key_packed if packed else node_key
     v = F.col(vertices)
     ends = arcs.select(
         F.col(id_col),
@@ -57,7 +61,7 @@ def endpoint_nodes(arcs: DataFrame, id_col: str = "segment_id",
     )
     return ends.select(
         id_col,
-        node_key(F.col("e.pt")).alias("node"),
+        key(F.col("e.pt")).alias("node"),
         F.element_at(F.col("e.pt"), 1).alias("x"),
         F.element_at(F.col("e.pt"), 2).alias("y"),
         F.col("e.is_start"),
@@ -95,11 +99,15 @@ def node_degrees(arcs: DataFrame, id_col: str = "segment_id",
 
 
 def deadends(arcs: DataFrame, id_col: str = "segment_id",
-             vertices: str = "vertices") -> DataFrame:
+             vertices: str = "vertices", packed: bool = False) -> DataFrame:
     """Deadend endpoints: nodes appearing exactly once (the
     ~duplicated(keep=False) idiom, validate_meshblock.py:280-281).
-    Returns (id, node, x, y) — id = the arc owning the deadend node."""
-    ends = endpoint_nodes(arcs, id_col, vertices)
+    Returns (id, node, x, y) — id = the arc owning the deadend node.
+    ``packed=True`` runs the once-count on packed node keys (1.4x at 2M
+    arcs — the count groupBy is this helper's only shuffle) and returns
+    the packed node column; callers that join ``node`` onward must use
+    the same key form on the other side."""
+    ends = endpoint_nodes(arcs, id_col, vertices, packed=packed)
     once = ends.groupBy("node").count().filter("count = 1").select("node")
     return ends.join(once, "node", "left_semi").select(id_col, "node", "x", "y")
 

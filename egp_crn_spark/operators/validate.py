@@ -357,7 +357,11 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     # call's cached blocks are released here (the return value is lazy,
     # so the current ones must outlive this function).
     v302_release()
-    dead = (N.deadends(arcs, id_col, vertices)
+    # packed=True throughout: every node column in v302 is internal
+    # (the output is flagged ids), so the deadend once-count and the
+    # connectivity join all key on struct<long,long> instead of printf
+    # strings — measured 1.4x on the deadend aggregation at 2M arcs
+    dead = (N.deadends(arcs, id_col, vertices, packed=True)
             .withColumnRenamed(id_col, "src_id").persist())
     _V302_PERSISTED.append(dead)
     # bound-enforced broadcast decision (the PIP pattern): deadends are
@@ -391,7 +395,7 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     dead_ids = dead.select(F.col("src_id").alias(id_col)).distinct()
     src_end_nodes = (
         N.endpoint_nodes(arcs.join(dead_ids, id_col, "left_semi"),
-                         id_col, vertices)
+                         id_col, vertices, packed=True)
         .select(F.col(id_col).alias("src_id"), "node")
     )
     # the exploded all-vertex side is NOT pre-distinct'd: (node, near_id)
@@ -401,7 +405,7 @@ def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
     # anyway. When the deadend count is small (the `small` bound above),
     # the endpoint side broadcasts and the vertex explode stays entirely
     # map-side — no vertex row is ever shuffled.
-    allv = N.all_vertex_nodes(arcs, id_col, vertices).select(
+    allv = N.all_vertex_nodes(arcs, id_col, vertices, packed=True).select(
         "node", F.col(id_col).alias("near_id")
     )
     src_side = F.broadcast(src_end_nodes) if small else src_end_nodes
