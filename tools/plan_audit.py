@@ -179,6 +179,56 @@ def main() -> None:
               "bucketed table the probe is exchange-free end to end).",
     ))
 
+    # 8) pair candidates: the topology self-join takes the SHUFFLE_HASH
+    # hint (skips both SMJ sort passes — measured 1.3x at 2M arcs); at
+    # audit size the input must be big enough that AQE does not demote
+    # the join to broadcast, so the hint's physical form is visible
+    from egp_crn_spark.operators.validate import _arc_pair_candidates
+
+    big_arcs = spark.range(100_000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("segment_id"),
+        F.array(
+            F.array((F.pmod(F.xxhash64("id"), F.lit(60000)) + 1000).cast("double"),
+                    (F.pmod(F.xxhash64("id", "id"), F.lit(60000)) + 1000).cast("double")),
+            F.array((F.pmod(F.xxhash64("id"), F.lit(60000)) + 1040).cast("double"),
+                    (F.pmod(F.xxhash64("id", "id"), F.lit(60000)) + 1000).cast("double")),
+        ).alias("vertices"))
+    audits.append(audit(
+        "arc pair candidates (topology self-join)",
+        _arc_pair_candidates(big_arcs, 10, "segment_id", "vertices",
+                             with_checksum=True).groupBy().count(),
+        wants=[("shuffle-hash join (no sorts)", r"ShuffledHashJoin")],
+        forbids=[("sort-merge join", r"SortMergeJoin"),
+                 ("any Python stage", r"EvalPython|InPandas"),
+                 ("cartesian product", r"CartesianProduct")],
+        notes="Both cover sides hash-join on the bigint cell without the "
+              "two sort passes SMJ would add; checksum columns ride the "
+              "cover rows (no join-back shuffle).",
+    ))
+
+    # 9) v302 small-deadend serving shape: with the measured deadend
+    # count under the bound, BOTH deadend sides broadcast — the arc side
+    # (the 100-TB side) is never shuffled in the distance or
+    # connectivity join
+    from egp_crn_spark.operators.validate import v302_min_distance
+
+    audits.append(audit(
+        "v302 min-distance (small-deadend broadcast path)",
+        v302_min_distance(arcs),
+        wants=[("deadend sides broadcast", r"BroadcastHashJoin")],
+        forbids=[("arc side shuffled on cell", r"SortMergeJoin \[_cell"),
+                 ("vertex side shuffled on node", r"SortMergeJoin \[node#"),
+                 ("per-row Python UDF", r"BatchEvalPython"),
+                 ("cartesian product", r"CartesianProduct")],
+        notes="Bound-enforced (deadends counted first): the point side "
+              "of the dilated-bbox distance join and the endpoint side "
+              "of the connectivity join broadcast — the arc/vertex side "
+              "is never shuffled on the cell or node key (the tiny "
+              "pair-level set subtraction may still SMJ; it is bounded "
+              "by the deadend count). Pathological all-deadend inputs "
+              "fall back to shuffle joins.",
+    ))
+
     all_ok = all(a["ok"] for a in audits)
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     with open(out, "w") as f:
