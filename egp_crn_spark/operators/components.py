@@ -81,13 +81,17 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "a_id",
-                         b_col: str = "b_id") -> DataFrame:
+                         b_col: str = "b_id",
+                         components: DataFrame | None = None) -> DataFrame:
     """Drop every near-duplicate except one canonical representative per
     duplicate CLUSTER (the minimum id — deterministic). Rows never named
     in ``pairs`` pass through untouched. The end-to-end form of a
     training-data dedup stage: pairs from any near-dup operator in,
-    cleaned corpus out."""
-    comp = connected_components(pairs, a_col, b_col)
+    cleaned corpus out. Pass a precomputed ``components`` frame (from
+    connected_components over the same pairs) to reuse one fixed-point
+    run across several consumers."""
+    comp = (components if components is not None
+            else connected_components(pairs, a_col, b_col))
     drop = comp.filter(F.col("node") != F.col("component")) \
                .select(F.col("node").alias(id_col))
     return df.join(drop, id_col, "left_anti")
