@@ -280,6 +280,35 @@ def test_point_to_arc_distance_join_bruteforce(spark, arcs_std, arcs_std_pd):
         )
 
 
+def test_point_near_arc_pairs_res_independent(spark, arcs_std, arcs_std_pd):
+    """The dilated-bbox covering makes the cell resolution a PURE
+    performance knob: any res yields the same exact pair set (the old
+    k-ring covering required cell_size >= radius for correctness — this
+    pins the new one-sided coverage guarantee across coarse AND finer-
+    than-radius cells)."""
+    from egp_crn_spark.operators.distance import point_near_arc_pairs
+
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({
+        "p_id": [str(i) for i in range(120)],
+        "x": rng.uniform(0, 65536.0 * 0.5, 120),
+        "y": rng.uniform(0, 65536.0 * 0.5, 120),
+    })
+    radius = 300.0
+    sets = {}
+    for res in (5, 8, 11):
+        got = point_near_arc_pairs(
+            spark.createDataFrame(pts), arcs_std, radius, res=res
+        ).select("p_id", "segment_id").distinct().toPandas()
+        sets[res] = set(zip(got.p_id, got.segment_id))
+    want = set()
+    for r in pts.itertuples():
+        for o in arcs_std_pd.itertuples():
+            if GK.point_to_polyline_distance(r.x, r.y, o.np_verts) <= radius:
+                want.add((r.p_id, o.segment_id))
+    assert sets[5] == sets[8] == sets[11] == want
+
+
 def test_arc_within_network_distance(spark):
     net = pd.DataFrame({
         "segment_id": ["n1"],
