@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LINEAGE_SCHEMA = "cell_id long, row_count long, checksum string"
+LINEAGE_SCHEMA = "cell_id long, row_count long, checksum string, batch_id long"
 
 
 def partition_lineage(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
@@ -108,8 +108,46 @@ class CheckpointedRun:
             .partitionBy(self.cell_col)
             .parquet(self.data_dir)
         )
-        partition_lineage(result, self.cell_col).write.mode("append").parquet(self.lineage_dir)
+        (partition_lineage(result, self.cell_col)
+         .withColumn("batch_id", F.lit(-1).cast("long"))
+         .write.mode("append").parquet(self.lineage_dir))
         result.unpersist()
+
+    def append_commit(self, result: DataFrame, batch_id: int) -> None:
+        """APPEND-mode commit for continuous ingestion (one call per
+        micro-batch): data files append into the cell_id layout and the
+        batch's per-partition lineage rows record ``batch_id``. Replays
+        are the caller's concern — gate on ``is_batch_committed`` (the
+        idempotent-foreachBatch pattern; streaming.ingest_stream wires
+        it). A cell's live content is the UNION of its appends, so
+        verify() matches such cells through the AGGREGATE of their
+        lineage rows (sum of counts, xor of checksums — the checksum is
+        xor-combined per row, hence mergeable across batches). Do not
+        mix commit() and append_commit() on one run: overwritten rows
+        would stay in the lineage and break the aggregate reading."""
+        result = result.cache()
+        (
+            result.repartition(self.cell_col)
+            .write.mode("append")
+            .partitionBy(self.cell_col)
+            .parquet(self.data_dir)
+        )
+        (partition_lineage(result, self.cell_col)
+         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .write.mode("append").parquet(self.lineage_dir))
+        result.unpersist()
+
+    def committed_batches(self) -> set[int]:
+        """Batch ids with at least one recorded lineage row."""
+        lin = self.lineage()
+        if "batch_id" not in lin.columns:
+            return set()
+        return {r.batch_id for r in
+                lin.select("batch_id").distinct().collect()
+                if r.batch_id is not None and r.batch_id >= 0}
+
+    def is_batch_committed(self, batch_id: int) -> bool:
+        return int(batch_id) in self.committed_batches()
 
     def output(self) -> DataFrame:
         return self.spark.read.parquet(self.data_dir)
@@ -131,5 +169,23 @@ class CheckpointedRun:
         matched = recorded.join(
             actual, ["cell_id", "row_count", "checksum"], "left_semi"
         ).select("cell_id").distinct()
+        # append-mode cells (ingestion): live content is the union of
+        # the cell's appends, so the AGGREGATE of its lineage rows must
+        # match — counts sum; checksums xor (the per-row xor-combine is
+        # mergeable across batches; xor the two 8-hex halves so the
+        # unsigned 64-bit value never touches a signed cast)
+        hi = F.conv(F.substring("checksum", 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring("checksum", 9, 8), 16, 10).cast("long")
+        def agg_ck(df):
+            return df.groupBy("cell_id").agg(
+                F.sum("row_count").alias("row_count"),
+                F.format_string(
+                    "%08x%08x", F.bit_xor(hi), F.bit_xor(lo)
+                ).alias("checksum"),
+            )
+        agg_matched = agg_ck(recorded).join(
+            agg_ck(actual), ["cell_id", "row_count", "checksum"], "left_semi"
+        ).select("cell_id").distinct()
+        healthy = matched.unionByName(agg_matched).distinct()
         return (recorded.select("cell_id").distinct()
-                .join(matched, "cell_id", "left_anti"))
+                .join(healthy, "cell_id", "left_anti"))

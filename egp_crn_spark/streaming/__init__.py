@@ -102,6 +102,31 @@ def streaming_dedup(stream: DataFrame, id_col: str = "doc_id",
     )
 
 
+def ingest_stream(stream: DataFrame, run, transform,
+                  checkpoint_dir: str):
+    """Continuous ingestion with per-partition lineage — the streaming
+    form of the north-rule checkpoint-resume contract: every micro-batch
+    appends its transformed rows into the run's cell_id-partitioned
+    layout plus lineage rows recording (cell_id, row_count, checksum,
+    batch_id). foreachBatch is at-least-once on restart; the
+    ``is_batch_committed`` gate skips replayed batches, making the
+    OUTPUT exactly-once (the idempotent-foreachBatch pattern, backed by
+    the same lineage table that verify() audits — aggregate checksums
+    across a cell's appends must reproduce the stored bytes).
+
+    ``run``: an operators.lineage.CheckpointedRun (append mode — don't
+    mix with overwrite commit() on the same run). ``transform``: a
+    batch-DataFrame function whose output carries the run's cell column.
+    Returns the DataStreamWriter — caller adds options and .start()s."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if run.is_batch_committed(batch_id):
+            return
+        run.append_commit(transform(batch_df), batch_id)
+
+    return (stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir))
+
+
 def streaming_hamming_near_dup(stream: DataFrame, sig_col: str,
                                id_col: str, max_hamming: int = 2,
                                max_bucket: int = 1000) -> DataFrame:

@@ -282,3 +282,51 @@ def test_streaming_near_dup_bucket_saturation(spark, tmp_path):
     # only pairs among the first 5-6 items per band group before the cap
     # tripped; far fewer than the n*(n+1)/2 uncapped explosion
     assert 0 < len(got) <= 3 * 6 * 5 / 2
+
+
+def test_ingest_stream_lineage_exactly_once(spark, tmp_path):
+    """Streaming ingestion with per-partition lineage: two micro-batches
+    append into the cell-partitioned layout, lineage records each
+    (cell, batch), the cross-batch AGGREGATE checksum verifies against
+    the stored bytes, and a replayed batch (foreachBatch at-least-once)
+    is skipped — output stays exactly-once."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from egp_crn_spark.functions import cells as C
+    from egp_crn_spark.functions.georef import phash_x, phash_y
+    from egp_crn_spark.operators.lineage import CheckpointedRun
+    from egp_crn_spark.streaming import ingest_stream
+
+    def transform(df):
+        return df.select(
+            "image_id",
+            C.cell_of_xy(phash_x(F.col("phash")), phash_y(F.col("phash")), 2)
+            .alias("cell_id"))
+
+    src_dir = tmp_path / "ingest_src"
+    src_dir.mkdir()
+    run = CheckpointedRun(spark, str(tmp_path / "run"))
+    stream = spark.readStream.schema("image_id long, phash long").parquet(str(src_dir))
+    q = ingest_stream(stream, run, transform, str(tmp_path / "ckpt")).start()
+    batches = []
+    for b in range(2):
+        pdf = pd.DataFrame({
+            "image_id": range(100 * b, 100 * b + 100),
+            "phash": [((i * 2654435761) % (1 << 63)) for i in
+                      range(100 * b, 100 * b + 100)]})
+        batches.append(pdf)
+        pdf.to_parquet(src_dir / f"b{b}.parquet")
+        q.processAllAvailable()
+    q.stop()
+
+    assert run.committed_batches() == {0, 1}
+    assert run.output().count() == 200
+    # cells span both batches -> only the aggregate lineage can match
+    assert run.verify().count() == 0
+    # replay batch 0 through the same gate: skipped, output unchanged
+    b0 = transform(spark.createDataFrame(batches[0]).select("image_id", "phash"))
+    if not run.is_batch_committed(0):
+        run.append_commit(b0, 0)
+    assert run.output().count() == 200
+    assert run.verify().count() == 0
