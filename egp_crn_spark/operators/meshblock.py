@@ -53,7 +53,9 @@ def meshblock_input(arcs: DataFrame, id_col: str = "segment_id",
                     vertices: str = "vertices") -> DataFrame:
     """All non-deadend arcs (validate_meshblock.py:357-358,
     conflate_meshblock.py:70-72)."""
-    dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
+    # packed keys: only ids are consumed, the node column never escapes
+    dead_ids = (N.deadends(arcs, id_col, vertices, packed=True)
+                .select(id_col).distinct())
     return arcs.join(dead_ids, id_col, "left_anti")
 
 
@@ -192,7 +194,7 @@ def validate_meshblock(arcs: DataFrame, restore: DataFrame,
     # ONE aggregation action over `out`'s three-join lineage (the round-2
     # version fired 3 separate counts, recomputing that lineage each
     # time); missing.count() is the restore table's own lineage.
-    dead_ids = N.deadends(arcs, id_col).select(id_col).distinct()
+    dead_ids = N.deadends(arcs, id_col, packed=True).select(id_col).distinct()
     invalid = (F.col("v201") == 1) | (F.col("v202") == 1)
     row = (
         out.join(dead_ids.withColumn("_dead", F.lit(1)), id_col, "left")
@@ -256,7 +258,8 @@ def mb_v201_deadend_within(arcs: DataFrame, faces: DataFrame,
 
     if res is None:
         res = _res_for_faces(faces, vertices)
-    dead_ids = N.deadends(arcs, id_col, vertices).select(id_col).distinct()
+    dead_ids = (N.deadends(arcs, id_col, vertices, packed=True)
+                .select(id_col).distinct())
     dead = arcs.join(dead_ids, id_col, "left_semi").select(id_col, vertices)
 
     has_holes = "holes" in faces.columns
