@@ -181,8 +181,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s")
     )
     if max_df is not None:
+        # broadcast anti-join on the HOT shingles (bounded by
+        # construction: <= shingle-instances/max_df of them), not a
+        # semi-join against every kept shingle — see _band_pairs
         dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
-        sh = sh.join(dfreq.filter(F.col("_df") <= max_df).select("s"), "s", "left_semi")
+        hot = dfreq.filter(F.col("_df") > max_df).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("a_id"), "s")
     b = sh.select(F.col(id_col).alias("b_id"), "s")
