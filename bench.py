@@ -31,6 +31,17 @@ from egp_crn_spark.functions.georef import phash_x, phash_y  # noqa: E402
 IMAGES_PER_SF = 5_000_000  # sf0.1 → 500k rows (override: SPARK_GRAFT_N_IMAGES)
 BOUNDARY_RES = 4  # 256 convex tiles
 
+# ANN serving row: ivf_probe against a PREBUILT bucketed index — the
+# headline ANN number is the scale path (index built once, amortized),
+# per VERDICT r5 #2; brute-force embedding_topk stays as the fenced
+# exactness baseline over the driver tables.
+ANN_VECS_PER_SF = 2_000_000  # sf0.1 → 200k vectors
+ANN_DIM = 64
+ANN_NCELLS = 64
+ANN_NPROBE = 8
+ANN_K = 10
+ANN_NQUERIES = 50
+
 
 def sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -93,6 +104,51 @@ def q_pip_images(spark, img_path, bnd_path):
     )
     joined = point_in_polygon_join(pts, polys, res=6, broadcast_polys=True)
     return joined.groupBy("poly_id").agg(F.count("*").alias("n"))
+
+
+def ensure_ann_index(spark, n_vecs: int, cpus: int):
+    """(queries_thunk, index_df, centroids): corpus parquet + trained
+    centroids + float32 IVF index as a bucketed table, all built ONCE
+    and cached in .data / spark-warehouse — the bench times only the
+    serving path (ivf_probe), which is what repeats in production."""
+    import numpy as np
+
+    from egp_crn_spark.operators.similarity import ivf_assign, train_centroids
+    from egp_crn_spark.sources.tables import save_bucketed_table
+    from egp_crn_spark.synth import synth_vectors
+
+    cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+    os.makedirs(cache_root, exist_ok=True)
+    corp_path = os.path.join(cache_root, f"bench_ann_{n_vecs}")
+    if not os.path.isdir(corp_path):
+        synth_vectors(spark, n_vecs, dim=ANN_DIM).repartition(cpus * 2) \
+            .write.mode("overwrite").parquet(corp_path)
+    corpus = spark.read.parquet(corp_path)
+    cent_path = os.path.join(cache_root, f"bench_ann_cent_{n_vecs}_{ANN_NCELLS}.npy")
+    if os.path.exists(cent_path):
+        C = np.load(cent_path)
+    else:
+        C = train_centroids(corpus, ANN_NCELLS)
+        np.save(cent_path, C)
+    tbl = f"bench_ivf_idx_{n_vecs}"
+    try:
+        ok = spark.catalog.tableExists(tbl) and spark.table(tbl).limit(1).count() == 1
+    except Exception:
+        ok = False
+    if not ok:
+        spark.sql(f"drop table if exists {tbl}")
+        save_bucketed_table(ivf_assign(corpus, C, dtype="float32"), tbl,
+                            "cell", num_buckets=min(ANN_NCELLS, cpus))
+    index = spark.table(tbl)
+    step = max(n_vecs // ANN_NQUERIES, 1)
+
+    def queries():
+        return corpus.filter(F.col("vec_id") % step == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+
+    return queries, index, C
 
 
 def main() -> None:
@@ -175,6 +231,17 @@ def main() -> None:
 
     run("phash_near_dup", lambda: phash_near_dup(
         spark.read.parquet(img_path), max_hamming=2, max_bucket=200))
+
+    # ANN serving: probe a prebuilt bucketed IVF index (build amortized,
+    # not timed — see ensure_ann_index); queries broadcast so the index
+    # side never shuffles
+    from egp_crn_spark.operators.similarity import ivf_probe
+
+    n_ann = int(os.environ.get("SPARK_GRAFT_ANN_VECS", 0)) or max(
+        int(ANN_VECS_PER_SF * sf), 10_000)
+    ann_queries, ann_index, ann_C = ensure_ann_index(spark, n_ann, cpus)
+    run("ivf_probe", lambda: ivf_probe(
+        ann_queries(), ann_index, ann_C, k=ANN_K, nprobe=ANN_NPROBE))
 
     execute_all()
     total = round(sum(timings.values()), 3)

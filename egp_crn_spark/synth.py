@@ -326,6 +326,30 @@ def write_fixtures(out_dir: str, n_images: int = 2000, seed: int = 42) -> dict[s
     return out
 
 
+# ------------------------------------------------------------- embeddings
+def synth_vectors(spark, n: int, dim: int = 64, n_clusters: int = 256,
+                  noise: float = 0.45):
+    """Clustered embedding corpus generated IN SPARK (deterministic
+    per-dimension xxhash64 draws — no files, no driver materialization):
+    vec = latent cluster center (vec_id % n_clusters) + uniform noise.
+    Uniform UNCLUSTERED data is IVF's worst case (nearest neighbours are
+    nearly orthogonal and carry no cell structure) — coarse quantization
+    only earns its keep when the data has geometry, which text/image
+    embeddings do. Shared by tools/ann_demo.py and bench.py."""
+    from pyspark.sql import functions as F
+
+    def u(seed_col, d):
+        return (F.pmod(F.xxhash64(seed_col, F.lit(d)), F.lit(2_000_001))
+                .cast("double") / 1_000_000.0 - 1.0)
+
+    cl = (F.col("vec_id") % n_clusters) * 7 + 3
+    vec = F.array(*[
+        u(cl, d) + F.lit(noise) * u(F.col("vec_id"), d) for d in range(dim)
+    ])
+    return spark.range(n).withColumnRenamed("id", "vec_id").select(
+        "vec_id", vec.alias("embedding"))
+
+
 if __name__ == "__main__":
     import sys
 
