@@ -446,6 +446,23 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert len(hot) > 0 and (hot["df"] > 3).all()
 
 
+def test_ngram_jaccard_cap_is_default_on(spark):
+    """VERDICT r5 #3: universal boilerplate in >1000 docs must NOT go
+    quadratic under the DEFAULT arguments — max_df=1000 is on unless the
+    caller explicitly opts out with max_df=None."""
+    n = 1100
+    boiler = "terms of service apply to all"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(n)),
+        "text": [f"{boiler} unique body {i * 7} tail {i * 13}" for i in range(n)],
+    }))
+    got = DD.ngram_jaccard_pairs(df, threshold=0.05).toPandas()
+    # the boilerplate shingles sit in all 1100 docs (> max_df) and are
+    # dropped; the unique bodies share nothing, so no pair survives —
+    # the uncapped path would emit n*(n-1)/2 ≈ 600k boilerplate pairs
+    assert len(got) == 0
+
+
 def test_v302_double_deadend_set_subtraction(spark):
     """An arc with BOTH endpoints deadends near the same unconnected arc
     must not leak through the connected-subtraction (per-arc SET, not
