@@ -804,7 +804,7 @@ def _ec_planes() -> np.ndarray:
 def q_embedding_cosine_dup(spark, sf_dir):
     return DD.dedup_embedding_cosine(
         _t(spark, sf_dir, "embeddings"),
-        threshold=_EC_T, num_planes=_EC_PLANES, bands=_EC_BANDS,
+        threshold=_EC_T, num_planes=_EC_PLANES, bands=_EC_BANDS, dim=_IVF_DIM,
     ).select("a_id", "b_id", "cosine")
 
 

@@ -391,51 +391,137 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+# above this bit-term count (num_planes x dim multiply-adds unrolled as
+# literals) the plane expressions bloat plan size/compile time the same
+# way IVF's literal centroid fold does (similarity._EXPR_NCELLS_MAX) —
+# a 1536-dim x 16-plane quantizer is ~25k literal terms per bit set.
+# The broadcast-matmul sign-bit kernel takes over; the expression form
+# survives below the cap because oracles want a pure-Column (and hence
+# DuckDB-twin-exact) quantizer.
+_EXPR_BITS_MAX = 4096
+
+
+def _banded_signs_matmul(sel: DataFrame, planes, bands: int) -> DataFrame:
+    """(id, _v, band, bucket) from (id, _v): hyperplane sign bits via one
+    BLAS X @ P.T per Arrow batch against an executor-broadcast plane
+    matrix — O(num_planes x dim) literals never enter the plan. Bucket
+    strings ('0'/'1' per plane, rows-per-band wide) match the expression
+    path exactly, so both quantizers yield identical candidate sets."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    num_planes, dim = planes.shape
+    rows = num_planes // bands
+    bc = sel.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes, dtype=np.float64))
+    id_field, v_field = sel.schema.fields[0], sel.schema.fields[1]
+    schema = StructType([
+        id_field, v_field,
+        StructField("band", IntegerType(), False),
+        StructField("bucket", StringType(), False),
+    ])
+
+    def gen(batches):
+        P = bc.value
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            vcol = b.column(1)
+            flat = vcol.flatten()
+            if vcol.null_count or len(flat) != n * P.shape[1]:
+                raise ValueError(
+                    f"dedup_embedding_cosine: column '{v_field.name}' has "
+                    f"nulls or ragged vectors (nulls={vcol.null_count}, "
+                    f"values={len(flat)}, expected {n} x {P.shape[1]})"
+                )
+            X = flat.to_numpy(zero_copy_only=False).reshape(n, P.shape[1])
+            bits = (X @ P.T) > 0  # (n, num_planes)
+            chars = bits.astype(np.uint8) + ord("0")
+            # vectorized per-band bucket strings: each band's char block
+            # viewed as fixed-width bytes, interleaved row-major so the
+            # flat order matches the repeat/tile explode indices below
+            allb = np.empty((n, bands), dtype=f"S{rows}")
+            for i in range(bands):
+                allb[:, i] = np.ascontiguousarray(
+                    chars[:, i * rows:(i + 1) * rows]).view(f"S{rows}").ravel()
+            idx = pa.array(np.repeat(np.arange(n), bands))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0).take(idx), vcol.take(idx),
+                 pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                 pa.array(allb.ravel().astype("U"))],
+                [id_field.name, v_field.name, "band", "bucket"],
+            )
+
+    return sel.mapInArrow(gen, schema=schema)
+
+
 def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", threshold: float = 0.95,
                            num_planes: int = 16, bands: int = 4,
-                           max_bucket: int = 2000) -> DataFrame:
+                           max_bucket: int = 2000, dim: int | None = None,
+                           method: str = "auto") -> DataFrame:
     """Near-dup pairs with cosine >= threshold. Candidates via seeded
-    random-hyperplane LSH (deterministic planes from xxhash64 of
-    (plane, dim)); verification via exact cosine."""
-    dim_df = df.select(F.size(vec_col).alias("d")).first()
-    d = dim_df["d"]
-    # deterministic pseudo-random plane matrix as literal arrays
+    random-hyperplane LSH (deterministic plane matrix, seed 1234);
+    verification via exact cosine.
+
+    ``dim`` sizes the plane matrix; pass it explicitly in production —
+    leaving it None runs a driver-side first() to sniff the vector width
+    (an extra job, acceptable interactively only).
+
+    ``method``: 'expr' = pure-Column literal plane fold (DuckDB-twin
+    exact, oracle mode), 'matmul' = broadcast-plane BLAS sign-bit kernel
+    (the scale path — no literals in the plan), 'auto' = expr iff
+    num_planes * dim <= _EXPR_BITS_MAX. Both quantizers produce the SAME
+    bucket strings, hence identical candidate sets and results."""
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    # deterministic pseudo-random plane matrix
     import numpy as np
 
     rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((num_planes, d))
+    planes = rng.standard_normal((num_planes, dim))
+    if method not in ("auto", "expr", "matmul"):
+        raise ValueError(f"unknown quantizer method {method!r}")
+    use_expr = method == "expr" or (
+        method == "auto" and num_planes * dim <= _EXPR_BITS_MAX)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(p)) for p in planes[i]]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda s, v: s + v,
-            )
-            > 0,
-            1,
-        ).otherwise(0).alias(f"bit{i}")
-        for i in range(num_planes)
-    ]
     rows = num_planes // bands
-    sig = df.select(F.col(id_col), vec.alias("_v"), *bits)
-    banded = sig.select(
-        id_col, "_v",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bnd).alias("band"),
-                    F.concat_ws("", *[F.col(f"bit{bnd * rows + r}") for r in range(rows)]).alias("bucket"),
+    if use_expr:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(p)) for p in planes[i]]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
                 )
-                for bnd in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "_v", "bb.band", "bb.bucket")
+                > 0,
+                1,
+            ).otherwise(0).alias(f"bit{i}")
+            for i in range(num_planes)
+        ]
+        sig = df.select(F.col(id_col), vec.alias("_v"), *bits)
+        banded = sig.select(
+            id_col, "_v",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat_ws("", *[F.col(f"bit{bnd * rows + r}") for r in range(rows)]).alias("bucket"),
+                    )
+                    for bnd in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(id_col, "_v", "bb.band", "bb.bucket")
+    else:
+        banded = _banded_signs_matmul(
+            df.select(F.col(id_col), vec.alias("_v")), planes, bands)
     banded = _drop_hot(banded, ["band", "bucket"], max_bucket)
     a = banded.select(F.col(id_col).alias("a_id"), F.col("_v").alias("va"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b_id"), F.col("_v").alias("vb"), "band", "bucket")

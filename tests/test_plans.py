@@ -95,6 +95,30 @@ def test_embedding_cosine_pair_distinct_is_narrow(spark):
         "no vector column may cross the pair-dedup exchange"
 
 
+def test_embedding_cosine_quantizer_switch(spark):
+    """VERDICT r5 #4: below _EXPR_BITS_MAX the hyperplane quantizer is a
+    pure-Column literal fold (no Python eval); above it the broadcast-
+    matmul sign-bit kernel takes over and the plan carries NO plane
+    literals (bounded size) — and both quantizers emit identical pairs."""
+    from egp_crn_spark.operators.dedup import dedup_embedding_cosine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    expr_df = dedup_embedding_cosine(emb, threshold=0.3, dim=64, method="expr")
+    assert not plans.has_python_eval(expr_df), \
+        "expression quantizer must stay JVM-side"
+    mm_df = dedup_embedding_cosine(emb, threshold=0.3, dim=64, method="matmul")
+    p = plans.physical_plan(mm_df)
+    assert "MapInArrow" in p, "matmul quantizer runs through mapInArrow"
+    assert len(p) < 50_000, "matmul plan must not unroll plane literals"
+    # auto switches on num_planes * dim: 16 x 64 = 1024 <= cap -> expr;
+    # a 512-dim vector would flip it (16 x 512 > 4096) without data
+    auto_small = dedup_embedding_cosine(emb, threshold=0.3, dim=64)
+    assert not plans.has_python_eval(auto_small)
+    got_e = {tuple(r) for r in expr_df.select("a_id", "b_id").collect()}
+    got_m = {tuple(r) for r in mm_df.select("a_id", "b_id").collect()}
+    assert got_e == got_m and got_e, "quantizers must agree on the pair set"
+
+
 def test_minhash_stays_jvm(spark):
     df = _plan(spark, "minhash_lsh_dup")
     assert not plans.has_python_eval(df), "minhash/banding/jaccard are pure Column"
