@@ -9,20 +9,28 @@ members of a pair deleted) or under-drop (transitive duplicates kept:
 a~b, b~c but a!~c). The reference has no analogue (single-node pandas
 would just union-find in memory); this is the distributed form.
 
-Algorithm: iterative min-label propagation (the standard Spark CC
-pattern — the two-phase large-star/small-star of Kiveris et al. reduces
-iteration count on high-diameter graphs; near-dup families are
-shallow, so plain propagation converges in O(diameter) ~ 2-5 rounds):
+Algorithm: iterative min-label propagation + POINTER JUMPING (path
+compression) per round:
 
     label(v) <- min(label(v), min over neighbours u of label(u))
+    label(v) <- label(label(v))          # the jump — doubles reach
 
-Each iteration is one groupBy-min over the edge list joined to current
-labels. Labels are localCheckpoint'ed (eager) per iteration — a cache
-alone does NOT truncate the logical plan, and an untruncated iterative
-plan doubles in depth per round until Catalyst analysis itself OOMs
-(measured here by round ~15). The convergence check is a count of
-changed labels — a driver-side action per iteration, inherent to any
-fixed-point loop (GraphFrames does the same).
+The jump composes the label map with itself, so the distance a label
+has travelled roughly doubles every round: a diameter-d chain converges
+in O(log d) rounds instead of the O(d) of plain propagation (the same
+round bound as Kiveris et al.'s large-star/small-star, with a simpler
+invariant: label(v) is always a <=-id node of v's own component, so the
+fixed point is exactly the component minimum). Measured: a planted
+1000-link chain converges in 9 rounds (BENCH/DEDUP.md).
+
+Each round is two joins + one groupBy-min (all map-side combinable).
+Labels are localCheckpoint'ed (eager) per iteration — a cache alone
+does NOT truncate the logical plan, and an untruncated iterative plan
+doubles in depth per round until Catalyst analysis itself OOMs
+(measured here by round ~15). For fault-tolerant production runs pass
+``reliable=True`` (see connected_components). The convergence check is
+a count of changed labels — a driver-side action per iteration,
+inherent to any fixed-point loop (GraphFrames does the same).
 """
 
 from __future__ import annotations
@@ -33,38 +41,71 @@ from pyspark.sql import functions as F
 
 def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         reliable: bool = False,
+                         stats: dict | None = None) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     component = the minimum node id reachable from it. Deterministic,
-    order-insensitive. ``max_iter`` bounds the fixed-point loop (raise
-    for graphs of diameter > 2^max_iter-ish; near-dup families are
-    diameter <= a few)."""
-    edges = (
+    order-insensitive.
+
+    ``max_iter`` bounds the fixed-point loop; with the per-round pointer
+    jump, rounds ~ log2(diameter) + 2, so the default 50 covers any
+    physically storable graph. If the loop still exhausts un-converged
+    the result would silently fragment clusters (multiple "canonical"
+    rows per real cluster) — it raises instead.
+
+    ``reliable=True`` checkpoints to reliable storage (requires
+    ``spark.sparkContext.setCheckpointDir(...)`` pointing at shared
+    storage, e.g. HDFS/S3) so a 100-TB run survives executor loss —
+    localCheckpoint blocks live only in executor memory/disk and a lost
+    executor kills the whole fixed-point loop. Sandbox/interactive runs
+    keep the default (localCheckpoint: no write amplification).
+
+    ``stats`` (optional dict) receives {"rounds": n} — benches/demos
+    report convergence rounds against the log2(diameter) bound."""
+    if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "connected_components(reliable=True) needs "
+            "spark.sparkContext.setCheckpointDir(<shared storage>)")
+
+    def _chk(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
+    edges = _chk(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _chk(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate label per node: min of own label and every
         # neighbour's label — one join + one groupBy-min (both
-        # map-side combinable); eager checkpoint truncates lineage
+        # map-side combinable)
         nbr = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "component")
         )
-        new_labels = (
+        mins = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+        )
+        # pointer jump: label <- label(label). Every label value IS a
+        # node (labels start as node ids and min only ever adopts an
+        # existing node's id), so the inner self-join loses no rows; and
+        # label(x) <= x, so the jump only ever lowers labels within the
+        # component — correctness is untouched, reach doubles.
+        new_labels = _chk(
+            mins.withColumnRenamed("component", "_mid")
+            .join(mins.select(F.col("node").alias("_mid"),
+                              F.col("component").alias("_jump")), "_mid")
+            .select("node", F.col("_jump").alias("component"))
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "_old"),
@@ -73,8 +114,15 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
             .count()
         )
         labels = new_labels
+        if stats is not None:
+            stats["rounds"] = it + 1
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the result would "
+            f"fragment clusters; raise max_iter")
     return labels
 
 

@@ -80,3 +80,39 @@ def test_dedup_keep_canonical_planted_families(spark):
     got = sorted(r.doc_id for r in
                  dedup_keep_canonical(df, pairs, "doc_id").collect())
     assert got == [1, 10, 20]
+
+
+def test_cc_long_chain_logarithmic_rounds(spark):
+    """A 100-link chain (diameter 100) must converge well inside
+    max_iter=10 — the per-round pointer jump makes rounds ~ log2(d),
+    where plain one-hop propagation would need ~100 rounds and raise."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a_id": list(range(100)), "b_id": list(range(1, 101))}))
+    got = {r.node: r.component
+           for r in connected_components(pairs, max_iter=10).collect()}
+    assert got == {n: 0 for n in range(101)}
+
+
+def test_cc_raises_on_exhaustion(spark):
+    """Exhausting max_iter with labels still moving must raise, not
+    silently return fragmented clusters (ADVICE r5)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a_id": list(range(30)), "b_id": list(range(1, 31))}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    """reliable=True routes through reliable-storage checkpoint():
+    requires a checkpoint dir (raises without) and returns the same
+    components as the localCheckpoint path."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a_id": [1, 2, 3], "b_id": [2, 3, 4]}))
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(pairs, reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "chk"))
+    got = {r.node: r.component
+           for r in connected_components(pairs, reliable=True).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
