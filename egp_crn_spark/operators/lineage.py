@@ -113,25 +113,40 @@ class CheckpointedRun:
          .write.mode("append").parquet(self.lineage_dir))
         result.unpersist()
 
+    def _append_data(self, result: DataFrame, batch_id: int) -> None:
+        """Data half of append_commit (factored so tests can simulate a
+        crash between the data write and the lineage append). The batch
+        writes into (cell_id, _batch_id) partitions with DYNAMIC
+        OVERWRITE: other batches' partitions are untouched, and a
+        REPLAY of this batch replaces its own half-written partitions
+        instead of appending next to them — the write is idempotent."""
+        (
+            result.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+            .repartition(self.cell_col)
+            .write.mode("overwrite")
+            .partitionBy(self.cell_col, "_batch_id")
+            .parquet(self.data_dir)
+        )
+
     def append_commit(self, result: DataFrame, batch_id: int) -> None:
         """APPEND-mode commit for continuous ingestion (one call per
-        micro-batch): data files append into the cell_id layout and the
-        batch's per-partition lineage rows record ``batch_id``. Replays
-        are the caller's concern — gate on ``is_batch_committed`` (the
+        micro-batch): the batch's rows land in (cell_id, _batch_id)
+        partitions and its per-partition lineage rows record
+        ``batch_id``. Gate replays on ``is_batch_committed`` (the
         idempotent-foreachBatch pattern; streaming.ingest_stream wires
-        it). A cell's live content is the UNION of its appends, so
+        it). The two writes are still non-atomic, but a crash between
+        them is now harmless (ADVICE r5): the batch's data partitions
+        carry its _batch_id, so output()/verify() EXCLUDE them until the
+        lineage row lands, and the replay's dynamic partition overwrite
+        replaces the half-written files rather than duplicating them.
+        A cell's live content is the UNION of its committed appends, so
         verify() matches such cells through the AGGREGATE of their
         lineage rows (sum of counts, xor of checksums — the checksum is
         xor-combined per row, hence mergeable across batches). Do not
         mix commit() and append_commit() on one run: overwritten rows
         would stay in the lineage and break the aggregate reading."""
         result = result.cache()
-        (
-            result.repartition(self.cell_col)
-            .write.mode("append")
-            .partitionBy(self.cell_col)
-            .parquet(self.data_dir)
-        )
+        self._append_data(result, batch_id)
         (partition_lineage(result, self.cell_col)
          .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .write.mode("append").parquet(self.lineage_dir))
@@ -150,7 +165,19 @@ class CheckpointedRun:
         return int(batch_id) in self.committed_batches()
 
     def output(self) -> DataFrame:
-        return self.spark.read.parquet(self.data_dir)
+        """The run's live table. Append-mode layouts (data partitioned
+        by _batch_id) are filtered to COMMITTED batches — rows whose
+        batch crashed before its lineage append are invisible until the
+        replay re-lands them."""
+        df = self.spark.read.parquet(self.data_dir)
+        if "_batch_id" not in df.columns:
+            return df
+        committed = (self.lineage()
+                     .filter(F.col("batch_id") >= 0)
+                     .select(F.col("batch_id").alias("_batch_id"))
+                     .distinct())
+        return (df.join(F.broadcast(committed), "_batch_id", "left_semi")
+                .drop("_batch_id"))
 
     def verify(self) -> DataFrame:
         """Recompute per-partition lineage from the STORED output and

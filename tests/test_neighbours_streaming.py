@@ -330,3 +330,20 @@ def test_ingest_stream_lineage_exactly_once(spark, tmp_path):
         run.append_commit(b0, 0)
     assert run.output().count() == 200
     assert run.verify().count() == 0
+
+    # half-committed batch (ADVICE r5): crash BETWEEN the data write and
+    # the lineage append. The orphan rows must be invisible to output()
+    # and verify(); the replay's dynamic partition overwrite must land
+    # the batch exactly once, not append a second copy.
+    b2 = transform(spark.createDataFrame(pd.DataFrame({
+        "image_id": range(200, 250),
+        "phash": [((i * 2654435761) % (1 << 63)) for i in range(200, 250)],
+    })))
+    run._append_data(b2, 2)            # data landed, lineage did not
+    assert not run.is_batch_committed(2)
+    assert run.output().count() == 200  # orphans excluded
+    assert run.verify().count() == 0
+    run.append_commit(b2, 2)           # the restart replays batch 2
+    assert run.is_batch_committed(2)
+    assert run.output().count() == 250  # exactly once, no duplicates
+    assert run.verify().count() == 0
