@@ -1,0 +1,144 @@
+"""Snapshot-log catalog emulation (VERDICT r5 #1): snapshot isolation,
+time travel, dynamic partition overwrite, changelog reads, rollback, and
+crash atomicity — the Iceberg semantics the incremental story (S8,
+J12-J14, lineage) depends on, actually executed rather than stubbed.
+
+Reference semantics preserved: fetch_deltas.py:166-233 (two dated
+vintages diffed), restore_geometry.py:83-117 (restore-from-previous)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from egp_crn_spark.sources import tables
+from egp_crn_spark.sources.snaplog import SnapshotLogTable, is_snaplog_table
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, part string, val double")
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_roundtrip_and_time_travel(spark, tdir):
+    t = SnapshotLogTable(spark, tdir)
+    s1 = t.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    s2 = t.overwrite(_df(spark, [(3, "a", 3.0)]))
+    assert (s1, s2) == (1, 2)
+    assert is_snaplog_table(tdir)
+    # current read sees only snapshot 2; time travel sees snapshot 1
+    assert sorted(r.id for r in t.read().collect()) == [3]
+    assert sorted(r.id for r in t.read(1).collect()) == [1, 2]
+    log = t.snapshots()
+    assert [s["operation"] for s in log] == ["overwrite", "overwrite"]
+    assert log[0]["total_rows"] == 2 and log[1]["total_rows"] == 1
+
+
+def test_append_accumulates_and_preserves_history(spark, tdir):
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0), (3, "b", 3.0)]))
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    assert sorted(r.id for r in t.read(1).collect()) == [1]
+    # appends surface as pure inserts in the changelog
+    ch = t.changelog(1, 2)
+    assert {r._change_type for r in ch.collect()} == {"insert"}
+    assert sorted(r.id for r in ch.collect()) == [2, 3]
+
+
+def test_overwrite_partitions_metadata_level(spark, tdir):
+    t = SnapshotLogTable(spark, tdir, partition_col="part")
+    t.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    m1_files = {e["path"] for e in t._manifest(1)["files"]}
+    # rewrite only partition b; a and c files must carry over UNREWRITTEN
+    t.overwrite_partitions(_df(spark, [(20, "b", 20.0)]))
+    got = {(r.id, r.part) for r in t.read().collect()}
+    assert got == {(1, "a"), (20, "b"), (3, "c")}
+    m2 = t._manifest(2)["files"]
+    carried = {e["path"] for e in m2} & m1_files
+    assert carried == {e["path"] for e in t._manifest(1)["files"]
+                       if e["partition"] != "b"}
+    # changelog: partition b shows delete+insert, a/c silent
+    ch = t.changelog(1, 2).collect()
+    assert {(r.id, r._change_type) for r in ch} == {(2, "delete"), (20, "insert")}
+
+
+def test_rollback_restores_without_rewrite(spark, tdir):
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t.overwrite(_df(spark, [(2, "b", 2.0)]))
+    t.rollback(1)
+    assert [r.id for r in t.read().collect()] == [1]
+    # the later snapshot is still readable by explicit id
+    assert [r.id for r in t.read(2).collect()] == [2]
+    with pytest.raises(ValueError):
+        t.rollback(99)
+
+
+def test_crash_atomicity_orphan_data_invisible(spark, tdir):
+    """Data files written but no manifest committed (crash before the
+    manifest create): invisible to every read."""
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    orphan = os.path.join(tdir, "data", "snap9-orphan.parquet")
+    _df(spark, [(999, "z", 9.0)]).toPandas().to_parquet(orphan)
+    assert sorted(r.id for r in t.read().collect()) == [1]
+
+
+def test_crash_atomicity_unflipped_manifest_invisible(spark, tdir):
+    """Manifest written but the version hint never flipped (crash between
+    the two): the snapshot is invisible, and the next writer skips the
+    burned id instead of colliding with the exclusive create."""
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    ghost = {"snapshot_id": 2, "parent_id": 1, "operation": "overwrite",
+             "files": [{"path": "nope.parquet", "partition": None, "rows": 1}]}
+    with open(os.path.join(tdir, "metadata", "snap-2.json"), "w") as f:
+        json.dump(ghost, f)
+    assert t.current_snapshot_id() == 1
+    assert sorted(r.id for r in t.read().collect()) == [1]
+    sid = t.overwrite(_df(spark, [(5, "a", 5.0)]))
+    assert sid == 3  # id 2 burned by the ghost manifest
+    assert sorted(r.id for r in t.read().collect()) == [5]
+
+
+def test_tags_resolve_like_iceberg_refs(spark, tdir):
+    t = SnapshotLogTable(spark, tdir)
+    s1 = t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    s2 = t.overwrite(_df(spark, [(2, "a", 2.0)]))
+    t.set_tag("20210601", s1)
+    t.set_tag("20210901", s2)
+    assert [r.id for r in t.read("20210601").collect()] == [1]
+    assert [r.id for r in t.read("20210901").collect()] == [2]
+    with pytest.raises(ValueError):
+        t.read("20991231")
+
+
+def test_partition_layout_is_pinned(spark, tdir):
+    t = SnapshotLogTable(spark, tdir, partition_col="part")
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ValueError):
+        SnapshotLogTable(spark, tdir, partition_col="val")
+
+
+def test_seam_routes_through_snaplog(spark, tdir):
+    """load_table/save_table default to the snapshot-log catalog in the
+    sandbox: tagged snapshots, append commits, auto-detected reads."""
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    tables.save_table(df.filter("id = 1"), tdir, snapshot="v1")
+    tables.save_table(df, tdir, snapshot="v2")
+    tables.save_table(_df(spark, [(3, "c", 3.0)]), tdir, mode="append")
+    assert is_snaplog_table(tdir)
+    assert [r.id for r in tables.load_table(spark, tdir, snapshot="v1").collect()] == [1]
+    assert sorted(r.id for r in tables.load_table(spark, tdir, snapshot="v2").collect()) == [1, 2]
+    assert sorted(r.id for r in tables.load_table(spark, tdir).collect()) == [1, 2, 3]
+    assert tables.table_exists(spark, tdir)
+    tables.drop_table(spark, tdir)
+    assert not tables.table_exists(spark, tdir)
