@@ -16,11 +16,38 @@ processAllAvailable().
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import cells as C
 from ..functions.georef import phash_x, phash_y
+
+# Off-heap state for the stateful near-dup operators (VERDICT r5 #6):
+# the default HDFS-backed provider keeps every (band, bucket) group's
+# (h+1)·N signature state on the executor HEAP — at 10^12 rows that is
+# GC death. RocksDB spills state to local SSD with an in-memory
+# block cache, bounding heap use regardless of state size.
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def state_store(spark, provider: str = ROCKSDB_PROVIDER):
+    """Scope a state-store provider to the queries STARTED inside the
+    block (the provider is captured at query start; running queries are
+    unaffected). Restores the previous session conf on exit."""
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, provider)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
