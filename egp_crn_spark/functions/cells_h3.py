@@ -28,6 +28,7 @@ cheaper), which is why this module is the swap-in, not the default.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -66,10 +67,26 @@ _SPAN_DEG = 0.5
 _M_PER_DEG = 111_320.0
 M_PER_UNIT = _SPAN_DEG * _M_PER_DEG / EXTENT
 
+# Where on the globe the planar [0, EXTENT)^2 domain lands (patch
+# center). Set EGP_H3_PATCH="lat,lng" BEFORE the session starts so
+# executor python workers import the same value; set_patch() below is
+# the driver-side seam the conformance tests use (driver-side geometry
+# only — running encode UDFs pick the value up at worker import).
+_env_patch = os.environ.get("EGP_H3_PATCH", "0,0").split(",")
+PATCH_LAT0, PATCH_LNG0 = float(_env_patch[0]), float(_env_patch[1])
+
+
+def set_patch(lat0: float, lng0: float) -> None:
+    """Re-center the mapped patch and invalidate measured-width caches.
+    Driver-side effect only — see the module-global note above."""
+    global PATCH_LAT0, PATCH_LNG0
+    PATCH_LAT0, PATCH_LNG0 = float(lat0), float(lng0)
+    _min_width_cache.clear()
+
 
 def _to_latlng(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    lat = (np.asarray(y, dtype=np.float64) / EXTENT - 0.5) * _SPAN_DEG
-    lng = (np.asarray(x, dtype=np.float64) / EXTENT - 0.5) * _SPAN_DEG
+    lat = (np.asarray(y, dtype=np.float64) / EXTENT - 0.5) * _SPAN_DEG + PATCH_LAT0
+    lng = (np.asarray(x, dtype=np.float64) / EXTENT - 0.5) * _SPAN_DEG + PATCH_LNG0
     return lat, lng
 
 
@@ -96,22 +113,36 @@ def _seg_dist(px, py, ax, ay, bx, by) -> float:
     return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
 
 
+# Width varies smoothly across the patch, but the sampled minimum alone
+# is not a proven bound: an unsampled cell marginally narrower than the
+# sampled min would re-open the silent pair-drop (ADVICE r5). Two
+# mitigations, both applied: widen the sample to the grid-disk(1)
+# neighbours of every sampled cell (the minimum over a cell set is
+# attained on a sampled-or-adjacent cell for smoothly-varying widths),
+# then shave the result by a margin far larger than the residual
+# cell-to-neighbour width variation.
+_MEASURE_MARGIN = 0.99
+
+
 def _measured_min_width(res: int) -> float | None:
-    """True minimum incircle diameter (2 x min center-to-edge distance),
-    in planar units, over cells sampled on a 17x17 grid spanning the
-    mapped patch. None when the boundary/center APIs are missing."""
+    """Minimum incircle diameter (2 x min center-to-edge distance), in
+    planar units, over cells sampled on a 17x17 grid spanning the mapped
+    patch PLUS each sample's grid-disk(1) neighbours, scaled by
+    ``_MEASURE_MARGIN``. None when the boundary/center APIs are missing."""
     if _cell_to_latlng is None or _cell_to_boundary is None:
         return None
 
     def to_xy(lat: float, lng: float) -> tuple[float, float]:
-        return ((lng / _SPAN_DEG + 0.5) * EXTENT,
-                (lat / _SPAN_DEG + 0.5) * EXTENT)
+        # exact inverse of _to_latlng (patch-centered)
+        return (((lng - PATCH_LNG0) / _SPAN_DEG + 0.5) * EXTENT,
+                ((lat - PATCH_LAT0) / _SPAN_DEG + 0.5) * EXTENT)
 
     cells = set()
     for gx in np.linspace(0.0, float(EXTENT), 17):
         for gy in np.linspace(0.0, float(EXTENT), 17):
             lat, lng = _to_latlng(np.array([gx]), np.array([gy]))
-            cells.add(_latlng_to_cell(float(lat[0]), float(lng[0]), res))
+            cells.update(_grid_disk(
+                _latlng_to_cell(float(lat[0]), float(lng[0]), res), 1))
     best = math.inf
     for c in cells:
         clat, clng = _cell_to_latlng(c)
@@ -121,7 +152,7 @@ def _measured_min_width(res: int) -> float | None:
             ax, ay = bnd[i]
             bx, by = bnd[(i + 1) % len(bnd)]
             best = min(best, 2.0 * _seg_dist(cx, cy, ax, ay, bx, by))
-    return best if math.isfinite(best) else None
+    return best * _MEASURE_MARGIN if math.isfinite(best) else None
 
 
 def cell_size(res: int) -> float:
