@@ -32,6 +32,18 @@ from .spatial_join import distance_join
 
 SUGGEST_RADIUS = 20.0  # validate_meshblock.py:113-114
 
+# persisted intermediates of the most recent suggested_snapping call,
+# released on the next call or via snapsuggest_release() (cache-hygiene
+# contract: compositions must be able to leave zero cached blocks)
+_SS_PERSISTED: list[DataFrame] = []
+
+
+def snapsuggest_release() -> None:
+    """Unpersist the last suggested_snapping call's intermediates (safe
+    once its returned suggestions are materialized)."""
+    while _SS_PERSISTED:
+        _SS_PERSISTED.pop().unpersist(blocking=False)
+
 
 def unintegrated_bo_nodes(arcs: DataFrame, id_col: str = "segment_id",
                           vertices: str = "vertices") -> DataFrame:
@@ -50,8 +62,11 @@ def suggested_snapping(arcs: DataFrame, radius: float = SUGGEST_RADIUS,
                        vertices: str = "vertices") -> DataFrame:
     """(snapping_type, from_x, from_y, to_x, to_y, valid=0)."""
     roads = arcs.filter(F.col("segment_type") == 1)
-    # persisted: feeds both the node-hit and the road-hit distance joins
+    # persisted: feeds both the node-hit and the road-hit distance joins;
+    # registered for snapsuggest_release() (cache-hygiene contract)
+    snapsuggest_release()
     bo = unintegrated_bo_nodes(arcs, id_col, vertices).persist()
+    _SS_PERSISTED.append(bo)
 
     road_nodes = (
         N.endpoint_nodes(roads, id_col, vertices).select("node", "x", "y").distinct()
@@ -73,6 +88,7 @@ def suggested_snapping(arcs: DataFrame, radius: float = SUGGEST_RADIUS,
         F.first("lx").alias("from_x"), F.first("ly").alias("from_y"),
         F.min(F.struct("dist", "r_id", "rx", "ry")).alias("best"),
     ).persist()
+    _SS_PERSISTED.append(node_hit_counts)
     node_suggestions = node_hit_counts.filter("n_nodes = 1").select(
         F.lit("node").alias("snapping_type"),
         "from_x", "from_y",

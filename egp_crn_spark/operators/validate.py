@@ -343,6 +343,20 @@ def v302_release() -> None:
         _V302_PERSISTED.pop().unpersist(blocking=False)
 
 
+# validate_topology's shared arc cache, released the same way (tests
+# assert compositions leave ZERO lingering cached blocks — r5 #7)
+_VT_PERSISTED: list[DataFrame] = []
+
+
+def validate_release() -> None:
+    """Unpersist everything the last validate_topology/v302 run cached.
+    Call after the flagged output (and anything derived) is
+    materialized; compositions should wrap in try/finally."""
+    while _VT_PERSISTED:
+        _VT_PERSISTED.pop().unpersist(blocking=False)
+    v302_release()
+
+
 def v302_min_distance(arcs: DataFrame, min_dist: float = MIN_DISTANCE,
                       id_col: str = "segment_id",
                       vertices: str = "vertices") -> DataFrame:
@@ -452,7 +466,11 @@ def validate_topology(arcs: DataFrame, codes: list[int] | None = None,
     validation consumes them in ONE linear pipeline, so a persist barrier
     buys nothing (the round-2 array-carrying variant measured 2x slower
     when cached; the round-3 slim variant is fastest recomputed)."""
-    arcs = arcs.cache()  # shared normalized projection across 7 validations
+    # shared normalized projection across 7 validations; registered so
+    # validate_release() can drop it once the flagged output is consumed
+    validate_release()
+    arcs = arcs.cache()
+    _VT_PERSISTED.append(arcs)
     codes = codes or sorted(VALIDATIONS)
     # ONE pivot join, not 7 chained left-joins: flag sets are tiny, so
     # union them with their code, pivot to v<code> columns in one

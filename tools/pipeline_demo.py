@@ -36,7 +36,8 @@ from egp_crn_spark.operators.conflate import (  # noqa: E402
 from egp_crn_spark.operators.deltas import ngd_deletions, restore_modified  # noqa: E402
 from egp_crn_spark.operators.snap import snap_nodes  # noqa: E402
 from egp_crn_spark.operators.standardize import standardize  # noqa: E402
-from egp_crn_spark.operators.validate import validate_topology  # noqa: E402
+from egp_crn_spark.operators.validate import (validate_release,  # noqa: E402
+                                              validate_topology)
 from egp_crn_spark.session import get_session  # noqa: E402
 from egp_crn_spark.sources.tables import load_table, save_table  # noqa: E402
 
@@ -252,4 +253,7 @@ Raw: {json.dumps({"stages": stages, "checks": {k: int(v) if not isinstance(v, st
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        validate_release()  # cache-hygiene contract: drop the last run's blocks

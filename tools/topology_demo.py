@@ -30,7 +30,8 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from egp_crn_spark.config import env_cpus  # noqa: E402
-from egp_crn_spark.operators.validate import validate_topology  # noqa: E402
+from egp_crn_spark.operators.validate import (validate_release,  # noqa: E402
+                                              validate_topology)
 from egp_crn_spark.session import get_session  # noqa: E402
 
 W = int(os.environ.get("SPARK_GRAFT_TOPO_W", "800"))
@@ -224,4 +225,7 @@ Raw: {json.dumps({"expected": expected, "got": got, "wall_s": round(wall, 1), "n
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        validate_release()  # cache-hygiene contract: drop the last run's blocks
