@@ -272,7 +272,10 @@ def q_knn_nearest(spark, sf_dir):
         key_x(F.col("s_suppkey") + _SUPP_KEY_OFFSET).alias("rx"),
         key_y(F.col("s_suppkey") + _SUPP_KEY_OFFSET).alias("ry"),
     )
-    return SJ.knn_join(left, right, k=1, max_distance=_KNN_MAXD).select("l_id", "r_id")
+    # supplier is the dimension side (1k rows per sf vs 15k customers):
+    # broadcast keeps the k-ring-exploded customer side map-side (3x)
+    return SJ.knn_join(left, right, k=1, max_distance=_KNN_MAXD,
+                       broadcast_right=True).select("l_id", "r_id")
 
 
 SQL_KNN_NEAREST = f"""
