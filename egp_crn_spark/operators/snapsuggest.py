@@ -42,7 +42,10 @@ def snapsuggest_release() -> None:
     """Unpersist the last suggested_snapping call's intermediates (safe
     once its returned suggestions are materialized)."""
     while _SS_PERSISTED:
-        _SS_PERSISTED.pop().unpersist(blocking=False)
+        try:
+            _SS_PERSISTED.pop().unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 def unintegrated_bo_nodes(arcs: DataFrame, id_col: str = "segment_id",

@@ -340,7 +340,10 @@ def v302_release() -> None:
     """Unpersist the deadend intermediate of the most recent v302 call
     (safe to call any time after its returned plan is materialized)."""
     while _V302_PERSISTED:
-        _V302_PERSISTED.pop().unpersist(blocking=False)
+        try:
+            _V302_PERSISTED.pop().unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 # validate_topology's shared arc cache, released the same way (tests
@@ -353,7 +356,10 @@ def validate_release() -> None:
     Call after the flagged output (and anything derived) is
     materialized; compositions should wrap in try/finally."""
     while _VT_PERSISTED:
-        _VT_PERSISTED.pop().unpersist(blocking=False)
+        try:
+            _VT_PERSISTED.pop().unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
     v302_release()
 
 
