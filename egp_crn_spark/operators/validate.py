@@ -205,17 +205,19 @@ def _refine_pairs(cand: DataFrame, arcs: DataFrame, kernel,
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            hits_a, hits_b = [], []
-            for (aid, bid, fast, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+            # fast rows are pre-verified hits (the Column predicate ran in
+            # the join stage) — take them in bulk, loop only the rows that
+            # actually need the ragged-array kernel
+            fast = pdf["_fast"].to_numpy(dtype=bool)
+            hits_a = pdf["a_id"][fast].tolist()
+            hits_b = pdf["b_id"][fast].tolist()
+            slow = pdf[~fast]
+            for (aid, bid, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
                  av, bv) in zip(
-                    pdf["a_id"], pdf["b_id"], pdf["_fast"],
-                    pdf["ax1"], pdf["ay1"], pdf["ax2"], pdf["ay2"],
-                    pdf["bx1"], pdf["by1"], pdf["bx2"], pdf["by2"],
-                    pdf["averts"], pdf["bverts"]):
-                if fast:  # pure-Column predicate already verified the hit
-                    hits_a.append(aid)
-                    hits_b.append(bid)
-                    continue
+                    slow["a_id"], slow["b_id"],
+                    slow["ax1"], slow["ay1"], slow["ax2"], slow["ay2"],
+                    slow["bx1"], slow["by1"], slow["bx2"], slow["by2"],
+                    slow["averts"], slow["bverts"]):
                 a = (np.asarray([list(p) for p in av], dtype=np.float64)
                      if av is not None
                      else np.array([[ax1, ay1], [ax2, ay2]], dtype=np.float64))
