@@ -230,8 +230,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     only by the dropped boilerplate (use hot_shingles() to audit drops).
     """
     df = _ensure_parallelism(df)
+    # the shingle flows through a co-group self-join and a document-
+    # frequency cap as a pure equality key — hash it to a long up front
+    # (hot_shingles() keeps the string form for its human-facing report;
+    # Jaccard over hashed sets = Jaccard over the sets, see exact_jaccard)
     sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s")
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.transform(shingles(F.col(text_col), k),
+                        lambda s: F.xxhash64(s)))).alias("s")
     )
     if max_df is not None:
         sh = _drop_hot(sh, ["s"], max_df)

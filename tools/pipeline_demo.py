@@ -238,7 +238,12 @@ roads + BO stubs), each stage consuming the previous stage's output.
 Timing caveat: single-run wall clocks on this shared VM vary ~±30%
 between time windows (host steal); stage-to-stage RATIOS within one run
 are meaningful, cross-round absolute comparisons should lean on
-bench.py's min-over-trials numbers.
+bench.py's min-over-trials numbers. Since round 6 every stage
+materialization commits through the snapshot-log catalog emulation
+(sources/snaplog.py) — measured +~0.25 s per commit and +~0.2 s per
+read of fixed METADATA cost (manifest, footer counts, explicit file
+list), the same shape as a real Iceberg commit: per-file, not
+per-byte, so it vanishes against stages bigger than this demo's.
 
 Notes: the snapped stubs start ON shared face-corner nodes after
 snapping, so meshblock 201 exercises the boundary-inclusive `within`
