@@ -48,7 +48,12 @@ from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
-    """Another writer committed the same snapshot id first."""
+    """Another writer committed first (same snapshot id, or the parent
+    this commit's file list was derived from is no longer current)."""
+
+
+_UNSET = object()
+_COMMIT_RETRIES = 5
 
 
 def _meta_dir(path: str) -> str:
@@ -127,9 +132,17 @@ class SnapshotLogTable:
     # ------------------------------------------------------------ commits
     def _stage_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
         """Write df's parquet files to a staging dir, move them into
-        data/ under snapshot-unique names, return manifest entries
-        [{path, partition, rows}] (partition = the string partition
-        value parsed from the hive-style staging layout)."""
+        data/ under names unique to this commit ATTEMPT, return manifest
+        entries [{path, partition, rows}] (partition = the string
+        partition value parsed from the hive-style staging layout).
+
+        The attempt uuid in every moved file name is load-bearing for
+        concurrency: two writers racing to the same predicted snapshot
+        id would otherwise stage IDENTICAL relative names and the
+        loser's os.replace would clobber the winner's already-committed
+        bytes. With unique names a losing attempt leaves only invisible
+        orphans (Iceberg's model — cleaned by maintenance, never read)."""
+        attempt = uuid.uuid4().hex[:8]
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if self.partition_col is not None:
@@ -151,9 +164,9 @@ class SnapshotLogTable:
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
-                rel = fn if rel_dir == "." else os.path.join(rel_dir, fn)
-                new_rel = (f"snap{snapshot_id}-{fn}" if rel_dir == "." else
-                           os.path.join(rel_dir, f"snap{snapshot_id}-{fn}"))
+                base = f"snap{snapshot_id}-{attempt}-{fn}"
+                new_rel = (base if rel_dir == "." else
+                           os.path.join(rel_dir, base))
                 dest = os.path.join(data, new_rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.replace(os.path.join(root, fn), dest)
@@ -176,8 +189,17 @@ class SnapshotLogTable:
             list(pool.map(_rows, entries))
         return entries
 
-    def _commit(self, files: list[dict], operation: str) -> int:
+    def _commit(self, files: list[dict], operation: str,
+                expected_parent: int | None | object = _UNSET) -> int:
         parent = self.current_snapshot_id()
+        if expected_parent is not _UNSET and parent != expected_parent:
+            # Iceberg's optimistic check: the snapshot this commit's file
+            # list was derived from is no longer current — committing
+            # would silently drop the intervening writer's files.
+            # Callers (append / overwrite_partitions) recompute and retry.
+            raise CommitConflict(
+                f"parent moved from {expected_parent} to {parent} at "
+                f"{self.path}")
         snapshot_id = (parent or 0) + 1
         # skip ids of uncommitted (crashed) manifests — retrying them
         # would collide with the exclusive create below
@@ -216,31 +238,61 @@ class SnapshotLogTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-table overwrite: new snapshot lists only the new files
-        (old files stay on disk for time travel)."""
+        (old files stay on disk for time travel). No expected-parent
+        check — concurrent overwrites serialize in either order (each
+        lists only its own files, so neither can drop the other's); a
+        same-id create race just retries with the next id."""
         sid = self.current_snapshot_id()
         files = self._stage_files(df, (sid or 0) + 1)
-        return self._commit(files, "overwrite")
+        for _ in range(_COMMIT_RETRIES):
+            try:
+                return self._commit(files, "overwrite")
+            except CommitConflict:  # pragma: no cover - same-id race window
+                continue
+        raise CommitConflict(  # pragma: no cover
+            f"overwrite lost the create race {_COMMIT_RETRIES} times at "
+            f"{self.path}")
 
     create = overwrite
 
     def append(self, df: DataFrame) -> int:
-        sid = self.current_snapshot_id()
-        new = self._stage_files(df, (sid or 0) + 1)
-        prev = self._manifest(sid)["files"] if sid is not None else []
-        return self._commit(prev + new, "append")
+        """Data files are staged ONCE (attempt-unique names, reusable
+        across retries); only the carried-over parent file list is
+        recomputed when a concurrent commit moves the parent — the
+        optimistic retry loop Iceberg runs on CommitFailedException."""
+        new = self._stage_files(df, (self.current_snapshot_id() or 0) + 1)
+        for _ in range(_COMMIT_RETRIES):
+            sid = self.current_snapshot_id()
+            prev = self._manifest(sid)["files"] if sid is not None else []
+            try:
+                return self._commit(prev + new, "append", expected_parent=sid)
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"append lost the optimistic race {_COMMIT_RETRIES} times at "
+            f"{self.path}")
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Iceberg's dynamic partition overwrite (`overwritePartitions`):
         partitions PRESENT in df are replaced at the metadata level —
-        parent files of untouched partitions carry over unrewritten."""
+        parent files of untouched partitions carry over unrewritten.
+        Same staged-once / retry-carried-list shape as append."""
         if self.partition_col is None:
             raise ValueError("overwrite_partitions needs a partitioned table")
-        sid = self.current_snapshot_id()
-        new = self._stage_files(df, (sid or 0) + 1)
+        new = self._stage_files(df, (self.current_snapshot_id() or 0) + 1)
         touched = {e["partition"] for e in new}
-        prev = self._manifest(sid)["files"] if sid is not None else []
-        carried = [e for e in prev if e["partition"] not in touched]
-        return self._commit(carried + new, "overwrite_partitions")
+        for _ in range(_COMMIT_RETRIES):
+            sid = self.current_snapshot_id()
+            prev = self._manifest(sid)["files"] if sid is not None else []
+            carried = [e for e in prev if e["partition"] not in touched]
+            try:
+                return self._commit(carried + new, "overwrite_partitions",
+                                    expected_parent=sid)
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"overwrite_partitions lost the optimistic race "
+            f"{_COMMIT_RETRIES} times at {self.path}")
 
     # --------------------------------------------------------------- refs
     def set_tag(self, name: str, snapshot_id: int) -> None:

@@ -128,6 +128,69 @@ def test_partition_layout_is_pinned(spark, tdir):
         SnapshotLogTable(spark, tdir, partition_col="val")
 
 
+def test_concurrent_staging_never_clobbers(spark, tdir):
+    """Two writers racing to the same predicted snapshot id stage
+    attempt-unique file names: neither move can overwrite the other's
+    bytes (the loser's files become invisible orphans)."""
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    fa = t._stage_files(_df(spark, [(2, "a", 2.0)]), 2)
+    fb = t._stage_files(_df(spark, [(3, "b", 3.0)]), 2)  # same predicted id
+    assert not ({e["path"] for e in fa} & {e["path"] for e in fb})
+    for e in fa + fb:
+        assert os.path.isfile(os.path.join(tdir, "data", e["path"]))
+
+
+def test_append_lost_update_detected_and_retried(spark, tdir):
+    """A commit derived from a stale parent must NOT silently drop the
+    intervening writer's files: the stale _commit raises CommitConflict,
+    and the public append() retries against the fresh parent so both
+    writers' rows survive."""
+    from egp_crn_spark.sources.snaplog import CommitConflict
+
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    # writer B reads the parent (1) and builds its carried list...
+    sid_b = t.current_snapshot_id()
+    prev_b = t._manifest(sid_b)["files"]
+    new_b = t._stage_files(_df(spark, [(3, "b", 3.0)]), sid_b + 1)
+    # ...then writer A commits an append in between
+    t.append(_df(spark, [(2, "a", 2.0)]))
+    with pytest.raises(CommitConflict):
+        t._commit(prev_b + new_b, "append", expected_parent=sid_b)
+    # the PUBLIC api retries with the moved parent and loses nothing
+    t.append(_df(spark, [(3, "b", 3.0)]))
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_threaded_appends_union(spark, tdir):
+    """Two threads each appending 3 batches through the public API:
+    every row survives and the final manifest's row total matches."""
+    import threading
+
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(0, "a", 0.0)]))
+    errs = []
+
+    def writer(base):
+        try:
+            w = SnapshotLogTable(spark, tdir)
+            for i in range(3):
+                w.append(_df(spark, [(base + i, "a", float(i))]))
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    th = [threading.Thread(target=writer, args=(b,)) for b in (100, 200)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [0, 100, 101, 102, 200, 201, 202]
+    assert t.snapshots()[-1]["total_rows"] == 7
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_model_random_op_sequences(spark, tdir, seed):
     """Model check: a random sequence of overwrite / append /
