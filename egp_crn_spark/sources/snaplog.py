@@ -106,28 +106,40 @@ class SnapshotLogTable:
         with open(p) as f:
             return json.load(f)
 
+    def _ancestry(self) -> list[int]:
+        """Snapshot ids on the CURRENT chain, oldest first — the walk
+        from the version hint through parent_id links. A manifest whose
+        hint flip crashed (a ghost) is never on this chain, exactly as
+        an uncommitted Iceberg snapshot is not in table history; the
+        distinction is load-bearing for the exactly-once ingest gate."""
+        out: list[int] = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            out.append(sid)
+            sid = self._manifest(sid)["parent_id"]
+        return out[::-1]
+
     def snapshots(self) -> list[dict]:
-        """The committed snapshot log, oldest first — (snapshot_id,
-        parent_id, operation, files, total_rows). Only snapshots on the
-        current-hint ancestry chain plus later committed ids; a manifest
-        whose hint flip crashed is invisible here exactly as an
-        uncommitted Iceberg snapshot would be."""
-        cur = self.current_snapshot_id()
-        if cur is None:
-            return []
+        """The committed snapshot log (current ancestry chain), oldest
+        first — (snapshot_id, parent_id, operation, n_files,
+        total_rows, summary)."""
         out = []
-        for n in range(1, cur + 1):
-            p = os.path.join(_meta_dir(self.path), f"snap-{n}.json")
-            if os.path.isfile(p):
-                m = self._manifest(n)
-                out.append({
-                    "snapshot_id": m["snapshot_id"],
-                    "parent_id": m["parent_id"],
-                    "operation": m["operation"],
-                    "n_files": len(m["files"]),
-                    "total_rows": sum(f["rows"] for f in m["files"]),
-                })
+        for n in self._ancestry():
+            m = self._manifest(n)
+            out.append({
+                "snapshot_id": m["snapshot_id"],
+                "parent_id": m["parent_id"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+                "total_rows": sum(f["rows"] for f in m["files"]),
+                "summary": m.get("summary"),
+            })
         return out
+
+    def committed_summaries(self) -> list[dict]:
+        """Summaries of committed (ancestry-chain) snapshots — the
+        ingest gate scans these for already-applied batch ids."""
+        return [s["summary"] for s in self.snapshots() if s["summary"]]
 
     # ------------------------------------------------------------ commits
     def _stage_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
@@ -190,7 +202,8 @@ class SnapshotLogTable:
         return entries
 
     def _commit(self, files: list[dict], operation: str,
-                expected_parent: int | None | object = _UNSET) -> int:
+                expected_parent: int | None | object = _UNSET,
+                summary: dict | None = None) -> int:
         parent = self.current_snapshot_id()
         if expected_parent is not _UNSET and parent != expected_parent:
             # Iceberg's optimistic check: the snapshot this commit's file
@@ -212,6 +225,8 @@ class SnapshotLogTable:
             "operation": operation,
             "files": files,
         }
+        if summary is not None:
+            manifest["summary"] = summary
         os.makedirs(_meta_dir(self.path), exist_ok=True)
         if self._read_table_meta() is None:
             with open(os.path.join(_meta_dir(self.path), "table.json"), "w") as f:
@@ -255,17 +270,21 @@ class SnapshotLogTable:
 
     create = overwrite
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Data files are staged ONCE (attempt-unique names, reusable
         across retries); only the carried-over parent file list is
         recomputed when a concurrent commit moves the parent — the
-        optimistic retry loop Iceberg runs on CommitFailedException."""
+        optimistic retry loop Iceberg runs on CommitFailedException.
+        ``summary`` rides the manifest (Iceberg snapshot summary) — the
+        streaming ingest stores its batch id there, making data + batch
+        marker ONE atomic commit."""
         new = self._stage_files(df, (self.current_snapshot_id() or 0) + 1)
         for _ in range(_COMMIT_RETRIES):
             sid = self.current_snapshot_id()
             prev = self._manifest(sid)["files"] if sid is not None else []
             try:
-                return self._commit(prev + new, "append", expected_parent=sid)
+                return self._commit(prev + new, "append",
+                                    expected_parent=sid, summary=summary)
             except CommitConflict:
                 continue
         raise CommitConflict(

@@ -154,6 +154,35 @@ def ingest_stream(stream: DataFrame, run, transform,
             .option("checkpointLocation", checkpoint_dir))
 
 
+def catalog_ingest_stream(stream: DataFrame, table, transform,
+                          checkpoint_dir: str):
+    """Continuous ingestion INTO the snapshot catalog with exactly-once
+    batches through one atomic pointer: each micro-batch appends as a
+    catalog commit whose manifest summary records the batch id, so the
+    data files and the processed-marker become visible in the SAME
+    version-hint flip. foreachBatch is at-least-once on restart; a
+    replayed batch finds its id in a committed (ancestry-chain) summary
+    and skips. Crash anywhere mid-commit leaves the batch INVISIBLE
+    (orphan files or an unflipped ghost manifest — ghosts are not on
+    the ancestry chain, so the gate correctly re-applies them), which
+    is a strictly stronger story than the side-table lineage gate of
+    ``ingest_stream``: there is no window where data is visible but the
+    marker is not, or vice versa.
+
+    ``table``: a sources.snaplog.SnapshotLogTable. ``transform``: batch
+    DataFrame -> DataFrame to append. Returns the DataStreamWriter —
+    caller adds options and .start()s. Downstream consumers time-travel
+    or changelog-read the same table (sources.tables seam)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        done = {s.get("batch_id") for s in table.committed_summaries()}
+        if batch_id in done:
+            return
+        table.append(transform(batch_df), summary={"batch_id": batch_id})
+
+    return (stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir))
+
+
 def streaming_hamming_near_dup(stream: DataFrame, sig_col: str,
                                id_col: str, max_hamming: int = 2,
                                max_bucket: int = 1000) -> DataFrame:
