@@ -63,6 +63,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
 
     ``stats`` (optional dict) receives {"rounds": n} — benches/demos
     report convergence rounds against the log2(diameter) bound."""
+    if max_iter < 1:
+        raise ValueError(f"connected_components needs max_iter >= 1, "
+                         f"got {max_iter}")
     if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
         raise ValueError(
             "connected_components(reliable=True) needs "
@@ -91,7 +94,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
             edges.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "component")
         )
-        mins = (
+        # checkpoint mins BEFORE the pointer-jump self-join: the join
+        # references the mins plan twice, so an unmaterialized plan pays
+        # the union+groupBy-min aggregation twice per round
+        mins = _chk(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))

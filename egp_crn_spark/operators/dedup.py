@@ -343,8 +343,11 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
         # 32-bit-lane packing: accumulator k = (h >> k) & (1 | 1<<32)
         # holds bits k (low lane) and k+32 (high lane), so the explode
         # projects 32 packed longs instead of 64 +/-1 votes and the
-        # aggregate keeps 32 sums + a count (lanes cannot overflow below
-        # 2^32 tokens). votes_b > 0  <=>  2*count_of_bit_b > n_tokens.
+        # aggregate keeps 32 sums + a count. The high lane holds
+        # count*(2^32) in a SIGNED long, so lanes are safe below 2^31
+        # tokens per document (the sign bit flips at 2^31 and the
+        # arithmetic shiftright in cnt() would corrupt high-lane
+        # counts). votes_b > 0  <=>  2*count_of_bit_b > n_tokens.
         # Measured 1.18x on the sf0.1 signature build, bit-identical
         # output (the md5 oracle branch below keeps the flat-vote form -
         # its bits come from hex nibbles, not one shiftable long).
@@ -475,21 +478,35 @@ def cosine_sim(a: Column, b: Column) -> Column:
 _EXPR_BITS_MAX = 4096
 
 
-def _banded_signs_matmul(sel: DataFrame, planes, bands: int) -> DataFrame:
+def _banded_signs_matmul(sel: DataFrame, planes, bands: int,
+                         num_planes: int | None = None,
+                         seed: int = 1234) -> DataFrame:
     """(id, _v, band, bucket) from (id, _v): hyperplane sign bits via one
     BLAS X @ P.T per Arrow batch against an executor-broadcast plane
     matrix — O(num_planes x dim) literals never enter the plan. Bucket
-    strings ('0'/'1' per plane, rows-per-band wide) match the expression
-    path exactly, so both quantizers yield identical candidate sets."""
+    strings ('0'/'1' per plane, rows-per-band wide) use the same plane
+    matrix as the expression path, so both quantizers produce the same
+    candidate sets up to floating-point sign ties (see
+    dedup_embedding_cosine).
+
+    ``planes=None`` derives the vector width from the FIRST Arrow batch
+    inside the kernel and builds the seeded plane matrix there (every
+    task builds the identical matrix — same rng, same seed): no
+    driver-side first() sniff job, nothing broadcast."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql.types import (IntegerType, StringType, StructField,
                                    StructType)
 
-    num_planes, dim = planes.shape
+    if planes is not None:
+        num_planes = planes.shape[0]
+        bc = sel.sparkSession.sparkContext.broadcast(
+            np.ascontiguousarray(planes, dtype=np.float64))
+    else:
+        if num_planes is None:
+            raise ValueError("planes=None needs num_planes")
+        bc = None
     rows = num_planes // bands
-    bc = sel.sparkSession.sparkContext.broadcast(
-        np.ascontiguousarray(planes, dtype=np.float64))
     id_field, v_field = sel.schema.fields[0], sel.schema.fields[1]
     schema = StructType([
         id_field, v_field,
@@ -498,13 +515,23 @@ def _banded_signs_matmul(sel: DataFrame, planes, bands: int) -> DataFrame:
     ])
 
     def gen(batches):
-        P = bc.value
+        P = bc.value if bc is not None else None
         for b in batches:
             n = b.num_rows
             if not n:
                 continue
             vcol = b.column(1)
             flat = vcol.flatten()
+            if P is None:
+                if vcol.null_count or len(flat) % n:
+                    raise ValueError(
+                        f"dedup_embedding_cosine: column "
+                        f"'{v_field.name}' has nulls or ragged vectors "
+                        f"(nulls={vcol.null_count}, values={len(flat)}, "
+                        f"rows={n})")
+                dim = len(flat) // n
+                P = np.random.default_rng(seed).standard_normal(
+                    (num_planes, dim))
             if vcol.null_count or len(flat) != n * P.shape[1]:
                 raise ValueError(
                     f"dedup_embedding_cosine: column '{v_field.name}' has "
@@ -541,26 +568,36 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
     random-hyperplane LSH (deterministic plane matrix, seed 1234);
     verification via exact cosine.
 
-    ``dim`` sizes the plane matrix; pass it explicitly in production —
-    leaving it None runs a driver-side first() to sniff the vector width
-    (an extra job, acceptable interactively only).
+    ``dim`` sizes the plane matrix. With the default ``dim=None`` the
+    matmul kernel derives the width from the first Arrow batch inside
+    the workers — no driver-side job at all (method='expr' is the one
+    mode that genuinely needs the width on the driver, so it requires
+    ``dim``).
 
     ``method``: 'expr' = pure-Column literal plane fold (DuckDB-twin
     exact, oracle mode), 'matmul' = broadcast-plane BLAS sign-bit kernel
-    (the scale path — no literals in the plan), 'auto' = expr iff
-    num_planes * dim <= _EXPR_BITS_MAX. Both quantizers produce the SAME
-    bucket strings, hence identical candidate sets and results."""
-    if dim is None:
-        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    # deterministic pseudo-random plane matrix
+    (the scale path — no literals in the plan), 'auto' = expr iff dim is
+    given and num_planes * dim <= _EXPR_BITS_MAX. Both quantizers use
+    the same plane matrix, so their bucket strings are identical up to
+    floating-point sign ties at the hyperplane boundary (the expr path
+    folds the dot product sequentially, BLAS sums pairwise — a dot
+    product within rounding of zero can flip sign between them)."""
     import numpy as np
 
-    rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((num_planes, dim))
     if method not in ("auto", "expr", "matmul"):
         raise ValueError(f"unknown quantizer method {method!r}")
-    use_expr = method == "expr" or (
-        method == "auto" and num_planes * dim <= _EXPR_BITS_MAX)
+    if dim is None:
+        if method == "expr":
+            raise ValueError("method='expr' builds driver-side plane "
+                             "literals — pass dim=<vector width>")
+        planes = None  # matmul kernel derives dim from the first batch
+        use_expr = False
+    else:
+        # deterministic pseudo-random plane matrix
+        planes = np.random.default_rng(1234).standard_normal(
+            (num_planes, dim))
+        use_expr = method == "expr" or (
+            method == "auto" and num_planes * dim <= _EXPR_BITS_MAX)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     rows = num_planes // bands
     if use_expr:
@@ -595,7 +632,8 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
         ).select(id_col, "_v", "bb.band", "bb.bucket")
     else:
         banded = _banded_signs_matmul(
-            df.select(F.col(id_col), vec.alias("_v")), planes, bands)
+            df.select(F.col(id_col), vec.alias("_v")), planes, bands,
+            num_planes=num_planes)
     banded = _cap_hot_window(banded, ["band", "bucket"], max_bucket)
     a = banded.select(F.col(id_col).alias("a_id"), F.col("_v").alias("va"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b_id"), F.col("_v").alias("vb"), "band", "bucket")

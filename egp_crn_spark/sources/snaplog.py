@@ -20,13 +20,21 @@ Layout (all inside the table directory):
         version-hint.txt   -- current snapshot id (atomic os.replace)
 
 Commit protocol (mirrors Iceberg's optimistic single-table commit):
-write the new data files, write manifest ``snap-<N>.json`` with
-exclusive create (a concurrent writer racing to the same N fails loudly
-— CommitConflict), then atomically flip ``version-hint.txt``. A crash
-at ANY point leaves the table readable at its previous snapshot: data
-files without a manifest are orphans (invisible), a manifest without
-the hint flip is an uncommitted snapshot (invisible, and its id is
-retried by the next writer).
+write the new data files, then under a short-lived ``commit.lock``
+(exclusive create; a crashed holder's lock is broken after a TTL)
+re-read the current parent, verify the expected parent still holds,
+write manifest ``snap-<N>.json`` with exclusive create, and atomically
+flip ``version-hint.txt``. The lock serializes only the metadata
+critical section — data staging runs outside it — and closes the
+lost-update window where a writer reading the hint between a peer's
+manifest create and hint flip would mistake the peer's IN-FLIGHT
+commit for a crash ghost and burn past it with a stale carried file
+list. While the lock is held no other flip can happen, so any manifest
+found above the hint really is a ghost. A crash at ANY point leaves
+the table readable at its previous snapshot: data files without a
+manifest are orphans (invisible), a manifest without the hint flip is
+an uncommitted snapshot (invisible, and its id is skipped by the next
+writer).
 
 Reference semantics preserved through this table: incremental
 snapshot-diff (fetch_deltas.py:166-233 reads two dated snapshots and
@@ -40,7 +48,9 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +64,131 @@ class CommitConflict(RuntimeError):
 
 _UNSET = object()
 _COMMIT_RETRIES = 5
+# a holder that dies between manifest create and hint flip leaves the
+# lock behind; peers break it after this age. Metadata commits under the
+# lock are milliseconds (staging runs outside), so 30 s is generous.
+_LOCK_TTL_S = 30.0
+_LOCK_WAIT_S = 120.0
+
+
+class _CommitLock:
+    """Exclusive-create lock file guarding the check→create→flip
+    critical section of a commit. Stale locks (crashed holders) are
+    broken after ``_LOCK_TTL_S`` via a race-safe rename-then-unlink so
+    only one breaker wins."""
+
+    def __init__(self, meta_dir: str):
+        self.path = os.path.join(meta_dir, "commit.lock")
+
+    def __enter__(self) -> "_CommitLock":
+        deadline = time.monotonic() + _LOCK_WAIT_S
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                pass
+            try:
+                age = time.time() - os.path.getmtime(self.path)
+            except OSError:
+                continue  # lock released between the create and the stat
+            if age > _LOCK_TTL_S:
+                broken = f"{self.path}.broken-{uuid.uuid4().hex}"
+                try:  # pragma: no cover - crashed-holder path
+                    os.replace(self.path, broken)
+                    os.unlink(broken)
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:  # pragma: no cover
+                raise CommitConflict(
+                    f"commit lock at {self.path} held for >{_LOCK_WAIT_S}s")
+            time.sleep(0.002 + random.random() * 0.01)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:  # pragma: no cover
+            pass
+
+
+def _json_stat(v):
+    """Parquet footer min/max → a JSON-storable scalar, or None for
+    types scan planning doesn't compare (binary blobs, timestamps)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+# where= predicates: AND of (col, op, value) triples. File-level
+# evaluation is conservative — a file is skipped only when its stats
+# PROVE no row can match; anything uncertain (missing stats, type
+# mismatch) keeps the file, and the residual in-plan filter guarantees
+# identical results with or without pruning.
+_PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _stats_exclude(op: str, val, mn, mx) -> bool:
+    """True iff a file with column range [mn, mx] provably holds no row
+    satisfying ``col <op> val``."""
+    try:
+        if op == "=":
+            return val < mn or val > mx
+        if op == "<":
+            return mn >= val
+        if op == "<=":
+            return mn > val
+        if op == ">":
+            return mx <= val
+        if op == ">=":
+            return mx < val
+        if op == "in":
+            return all(v < mn or v > mx for v in val)
+    except TypeError:
+        return False
+    return False
+
+
+def _partition_exclude(op: str, val, part_val: str) -> bool:
+    """Same, against a hive partition-directory value (always a string
+    here; numeric comparisons go through float coercion)."""
+
+    def _coerce(v):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            try:
+                return float(part_val), float(v)
+            except ValueError:
+                return None
+        return part_val, str(v)
+
+    try:
+        if op == "in":
+            outs = [_partition_exclude("=", v, part_val) for v in val]
+            return all(outs)
+        pair = _coerce(val)
+        if pair is None:
+            return False
+        a, b = pair
+        if op == "=":
+            return a != b
+        if op == "<":
+            return a >= b
+        if op == "<=":
+            return a > b
+        if op == ">":
+            return a <= b
+        if op == ">=":
+            return a < b
+    except (TypeError, ValueError):
+        return False
+    return False
 
 
 def _meta_dir(path: str) -> str:
@@ -185,17 +320,42 @@ class SnapshotLogTable:
                 entries.append({"path": new_rel, "partition": part_val,
                                 "rows": None})
         shutil.rmtree(staging, ignore_errors=True)
-        # per-file row counts from the parquet footers (needed for
-        # snapshot summaries). Iceberg gets these from the writers; here
+        # per-file row counts AND per-column min/max stats from the
+        # parquet footers (Iceberg gets both from the writers; here
         # they're footer-only reads, parallelized so manifest commit cost
-        # stays O(files/threads) not O(files) driver-sequential
+        # stays O(files/threads) not O(files) driver-sequential). The
+        # stats feed read(where=...) scan planning: a snapshot read can
+        # skip whole files whose [min, max] provably excludes the
+        # predicate — Iceberg's manifest-level file pruning, and the
+        # reference's pushdown idiom (conform_deltas_src.py:89-104) done
+        # at the catalog layer instead of per query.
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
         def _rows(e):
-            e["rows"] = pq.ParquetFile(
-                os.path.join(data, e["path"])).metadata.num_rows
+            md = pq.ParquetFile(os.path.join(data, e["path"])).metadata
+            e["rows"] = md.num_rows
+            stats: dict[str, list] = {}
+            for ci in range(md.num_columns):
+                name = md.schema.column(ci).path
+                if "." in name:  # nested leaves aren't plannable columns
+                    continue
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mn = mx = None
+                        break
+                    lo, hi = _json_stat(st.min), _json_stat(st.max)
+                    if lo is None or hi is None:
+                        mn = mx = None
+                        break
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                if mn is not None:
+                    stats[name] = [mn, mx]
+            e["stats"] = stats
 
         with ThreadPoolExecutor(max_workers=16) as pool:
             list(pool.map(_rows, entries))
@@ -203,46 +363,55 @@ class SnapshotLogTable:
 
     def _commit(self, files: list[dict], operation: str,
                 expected_parent: int | None | object = _UNSET,
-                summary: dict | None = None) -> int:
-        parent = self.current_snapshot_id()
-        if expected_parent is not _UNSET and parent != expected_parent:
-            # Iceberg's optimistic check: the snapshot this commit's file
-            # list was derived from is no longer current — committing
-            # would silently drop the intervening writer's files.
-            # Callers (append / overwrite_partitions) recompute and retry.
-            raise CommitConflict(
-                f"parent moved from {expected_parent} to {parent} at "
-                f"{self.path}")
-        snapshot_id = (parent or 0) + 1
-        # skip ids of uncommitted (crashed) manifests — retrying them
-        # would collide with the exclusive create below
-        while os.path.isfile(os.path.join(
-                _meta_dir(self.path), f"snap-{snapshot_id}.json")):
-            snapshot_id += 1
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "parent_id": parent,
-            "operation": operation,
-            "files": files,
-        }
-        if summary is not None:
-            manifest["summary"] = summary
+                summary: dict | None = None,
+                schema_json: str | None = None) -> int:
         os.makedirs(_meta_dir(self.path), exist_ok=True)
-        if self._read_table_meta() is None:
-            with open(os.path.join(_meta_dir(self.path), "table.json"), "w") as f:
-                json.dump({"partition_col": self.partition_col}, f)
-        try:
-            fd = os.open(
-                os.path.join(_meta_dir(self.path), f"snap-{snapshot_id}.json"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:  # pragma: no cover - race window
-            raise CommitConflict(
-                f"snapshot {snapshot_id} already committed by another "
-                f"writer") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        self._flip_hint(snapshot_id)
-        return snapshot_id
+        with _CommitLock(_meta_dir(self.path)):
+            parent = self.current_snapshot_id()
+            if expected_parent is not _UNSET and parent != expected_parent:
+                # Iceberg's optimistic check: the snapshot this commit's
+                # file list was derived from is no longer current —
+                # committing would silently drop the intervening writer's
+                # files. Callers (append / overwrite_partitions) recompute
+                # and retry.
+                raise CommitConflict(
+                    f"parent moved from {expected_parent} to {parent} at "
+                    f"{self.path}")
+            snapshot_id = (parent or 0) + 1
+            # skip ids of uncommitted manifests: under the lock no peer
+            # can be between its manifest create and hint flip, so any
+            # manifest above the hint is a genuine crash ghost, never an
+            # in-flight commit (the ADVICE r6 lost-update window)
+            while os.path.isfile(os.path.join(
+                    _meta_dir(self.path), f"snap-{snapshot_id}.json")):
+                snapshot_id += 1
+            manifest = {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent,
+                "operation": operation,
+                "files": files,
+            }
+            if summary is not None:
+                manifest["summary"] = summary
+            if schema_json is not None:
+                manifest["schema"] = schema_json
+            if self._read_table_meta() is None:
+                with open(os.path.join(
+                        _meta_dir(self.path), "table.json"), "w") as f:
+                    json.dump({"partition_col": self.partition_col}, f)
+            try:
+                fd = os.open(
+                    os.path.join(_meta_dir(self.path),
+                                 f"snap-{snapshot_id}.json"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError as e:  # pragma: no cover - race window
+                raise CommitConflict(
+                    f"snapshot {snapshot_id} already committed by another "
+                    f"writer") from e
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            self._flip_hint(snapshot_id)
+            return snapshot_id
 
     def _flip_hint(self, snapshot_id: int) -> None:
         hint = os.path.join(_meta_dir(self.path), "version-hint.txt")
@@ -258,10 +427,11 @@ class SnapshotLogTable:
         lists only its own files, so neither can drop the other's); a
         same-id create race just retries with the next id."""
         sid = self.current_snapshot_id()
+        sj = df.schema.json()
         files = self._stage_files(df, (sid or 0) + 1)
         for _ in range(_COMMIT_RETRIES):
             try:
-                return self._commit(files, "overwrite")
+                return self._commit(files, "overwrite", schema_json=sj)
             except CommitConflict:  # pragma: no cover - same-id race window
                 continue
         raise CommitConflict(  # pragma: no cover
@@ -278,13 +448,15 @@ class SnapshotLogTable:
         ``summary`` rides the manifest (Iceberg snapshot summary) — the
         streaming ingest stores its batch id there, making data + batch
         marker ONE atomic commit."""
+        sj = df.schema.json()
         new = self._stage_files(df, (self.current_snapshot_id() or 0) + 1)
         for _ in range(_COMMIT_RETRIES):
             sid = self.current_snapshot_id()
             prev = self._manifest(sid)["files"] if sid is not None else []
             try:
                 return self._commit(prev + new, "append",
-                                    expected_parent=sid, summary=summary)
+                                    expected_parent=sid, summary=summary,
+                                    schema_json=sj)
             except CommitConflict:
                 continue
         raise CommitConflict(
@@ -298,6 +470,7 @@ class SnapshotLogTable:
         Same staged-once / retry-carried-list shape as append."""
         if self.partition_col is None:
             raise ValueError("overwrite_partitions needs a partitioned table")
+        sj = df.schema.json()
         new = self._stage_files(df, (self.current_snapshot_id() or 0) + 1)
         touched = {e["partition"] for e in new}
         for _ in range(_COMMIT_RETRIES):
@@ -306,7 +479,7 @@ class SnapshotLogTable:
             carried = [e for e in prev if e["partition"] not in touched]
             try:
                 return self._commit(carried + new, "overwrite_partitions",
-                                    expected_parent=sid)
+                                    expected_parent=sid, schema_json=sj)
             except CommitConflict:
                 continue
         raise CommitConflict(
@@ -352,21 +525,54 @@ class SnapshotLogTable:
         if not os.path.isfile(os.path.join(
                 _meta_dir(self.path), f"snap-{snapshot_id}.json")):
             raise ValueError(f"no committed snapshot {snapshot_id}")
-        self._flip_hint(snapshot_id)
+        with _CommitLock(_meta_dir(self.path)):
+            self._flip_hint(snapshot_id)
 
     # ------------------------------------------------------------- reads
-    def _read_files(self, entries: list[dict]) -> DataFrame:
+    def _read_files(self, entries: list[dict],
+                    schema_json: str | None = None) -> DataFrame:
         if not entries:
-            # schema-less empty read is impossible without a sample file;
-            # an empty table has no snapshots, so this only happens for
-            # an empty changelog side — callers union it away
+            # schema-less empty read is impossible without a sample file
+            # UNLESS the manifest recorded the committed schema
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(schema_json))
+                return self.spark.createDataFrame([], schema)
             return None
         data = _data_dir(self.path)
         paths = [os.path.join(data, e["path"]) for e in entries]
-        return self.spark.read.option("basePath", data).parquet(*paths)
+        if schema_json is None:
+            return self.spark.read.option("basePath", data).parquet(*paths)
+        # restore the COMMITTED schema (Iceberg reads schema from
+        # metadata, not from directory names): hive partition-value
+        # inference would turn a string partition col with
+        # numeric-looking values ('01', '20210601') into int/date —
+        # altered values, changed dtype — and move it to the end of the
+        # schema. Inference off → raw strings, then cast + reorder to
+        # the manifest's schema. The conf only matters at DataFrame
+        # CREATION (partition discovery), so set/restore around it is
+        # safe even though the read itself is lazy.
+        from pyspark.sql.types import StructType
 
-    def read(self, snapshot_id: int | str | None = None) -> DataFrame:
-        """Current table, or time travel to an explicit snapshot id/tag."""
+        schema = StructType.fromJson(json.loads(schema_json))
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old = self.spark.conf.get(key, "true")
+        self.spark.conf.set(key, "false")
+        try:
+            df = self.spark.read.option("basePath", data).parquet(*paths)
+        finally:
+            self.spark.conf.set(key, old)
+        return df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+    def plan_files(self, snapshot_id: int | str | None = None,
+                   where: list[tuple] | None = None) -> list[dict]:
+        """Manifest-level scan planning: the snapshot's file entries,
+        pruned by ``where`` (AND of ``(col, op, value)`` triples, op in
+        =, <, <=, >, >=, in) using per-file column min/max stats and
+        hive partition values — NO data file is opened. Conservative:
+        a file survives unless its stats PROVE no row can match."""
         sid = self.resolve(snapshot_id)
         if sid is None:
             raise ValueError(f"table at {self.path} has no snapshots")
@@ -374,9 +580,59 @@ class SnapshotLogTable:
                 _meta_dir(self.path), f"snap-{sid}.json")):
             raise ValueError(
                 f"no committed snapshot {snapshot_id!r} at {self.path}")
-        df = self._read_files(self._manifest(sid)["files"])
+        entries = self._manifest(sid)["files"]
+        if not where:
+            return entries
+        for col, op, val in where:
+            if op not in _PRED_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}")
+        out = []
+        for e in entries:
+            keep = True
+            for col, op, val in where:
+                if (col == self.partition_col
+                        and e.get("partition") is not None):
+                    if _partition_exclude(op, val, e["partition"]):
+                        keep = False
+                        break
+                st = (e.get("stats") or {}).get(col)
+                if st is not None and _stats_exclude(op, val, st[0], st[1]):
+                    keep = False
+                    break
+            if keep:
+                out.append(e)
+        return out
+
+    def read(self, snapshot_id: int | str | None = None,
+             where: list[tuple] | None = None) -> DataFrame:
+        """Current table, or time travel to an explicit snapshot id/tag.
+
+        ``where`` (optional) is an AND of ``(col, op, value)`` triples:
+        files are pruned from metadata stats alone (plan_files), and the
+        SAME predicate is applied as an in-plan residual filter, so the
+        result is identical to a full read + filter — just touching
+        strictly fewer files when the stats allow."""
+        sid = self.resolve(snapshot_id)
+        entries = self.plan_files(snapshot_id, where)
+        m = self._manifest(sid)
+        df = self._read_files(entries, m.get("schema"))
         if df is None:
             raise ValueError(f"snapshot {sid} lists no files")
+        if where:
+            for col, op, val in where:
+                c = F.col(col)
+                if op == "=":
+                    df = df.filter(c == F.lit(val))
+                elif op == "<":
+                    df = df.filter(c < F.lit(val))
+                elif op == "<=":
+                    df = df.filter(c <= F.lit(val))
+                elif op == ">":
+                    df = df.filter(c > F.lit(val))
+                elif op == ">=":
+                    df = df.filter(c >= F.lit(val))
+                else:
+                    df = df.filter(c.isin(*val))
         return df
 
     def changelog(self, from_id: int, to_id: int) -> DataFrame:
@@ -386,12 +642,14 @@ class SnapshotLogTable:
         changelog-scan semantics; a rewritten partition shows as
         delete+insert). No shuffle — a metadata file-set diff plus two
         scans."""
-        f_from = {e["path"]: e for e in self._manifest(from_id)["files"]}
-        f_to = {e["path"]: e for e in self._manifest(to_id)["files"]}
+        m_from, m_to = self._manifest(from_id), self._manifest(to_id)
+        f_from = {e["path"]: e for e in m_from["files"]}
+        f_to = {e["path"]: e for e in m_to["files"]}
         added = [e for p, e in f_to.items() if p not in f_from]
         removed = [e for p, e in f_from.items() if p not in f_to]
-        ins = self._read_files(added)
-        del_ = self._read_files(removed)
+        ins = self._read_files(added, m_to.get("schema")) if added else None
+        del_ = (self._read_files(removed, m_from.get("schema"))
+                if removed else None)
         if ins is None and del_ is None:
             return self.read(to_id).limit(0).withColumn(
                 "_change_type", F.lit("insert"))

@@ -119,6 +119,28 @@ def test_embedding_cosine_quantizer_switch(spark):
     assert got_e == got_m and got_e, "quantizers must agree on the pair set"
 
 
+def test_embedding_cosine_no_dim_sniff_job(spark):
+    """VERDICT r6 #8: the default dim=None must not run a driver-side
+    first() sniff job — the matmul kernel derives the vector width from
+    the first Arrow batch in the workers. And the lazy path must emit
+    the same pairs as an explicit-dim matmul run (same seed, same
+    derived plane matrix)."""
+    from egp_crn_spark.operators.dedup import dedup_embedding_cosine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    lazy = dedup_embedding_cosine(emb, threshold=0.3)
+    assert set(tracker.getJobIdsForGroup(None)) == before, \
+        "constructing with dim=None must not launch a Spark job"
+    assert "MapInArrow" in plans.physical_plan(lazy)
+    got_l = {tuple(r) for r in lazy.select("a_id", "b_id").collect()}
+    eager = dedup_embedding_cosine(emb, threshold=0.3, dim=64,
+                                   method="matmul")
+    got_e = {tuple(r) for r in eager.select("a_id", "b_id").collect()}
+    assert got_l == got_e and got_l
+
+
 def test_minhash_stays_jvm(spark):
     df = _plan(spark, "minhash_lsh_dup")
     assert not plans.has_python_eval(df), "minhash/banding/jaccard are pure Column"

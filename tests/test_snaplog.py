@@ -296,6 +296,94 @@ def test_catalog_ingest_stream_exactly_once(spark, tmp_path, tdir):
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 10, 10, 11, 11, 20, 21]
 
 
+def test_inflight_commit_not_mistaken_for_ghost(spark, tdir):
+    """The ADVICE r6 lost-update window: writer A has created
+    snap-2.json but not yet flipped the hint when writer B commits.
+    Pre-lock, B would read parent 1, treat snap-2 as a burned crash
+    ghost, and commit snap-3 with a carried list derived from the STALE
+    parent — silently dropping A's files. With the commit lock, B blocks
+    until A's flip lands, then carries A's files. Both rows survive."""
+    import threading
+
+    from egp_crn_spark.sources.snaplog import _CommitLock, _meta_dir
+
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    # writer A: stage files + create manifest under the lock, DELAY the
+    # hint flip (the exact window), while B appends concurrently
+    a_files = t._stage_files(_df(spark, [(2, "a", 2.0)]), 2)
+    lock = _CommitLock(_meta_dir(tdir))
+    lock.__enter__()
+    with open(os.path.join(tdir, "metadata", "snap-2.json"), "w") as f:
+        json.dump({"snapshot_id": 2, "parent_id": 1, "operation": "append",
+                   "files": t._manifest(1)["files"] + a_files}, f)
+    b_done = []
+
+    def writer_b():
+        w = SnapshotLogTable(spark, tdir)
+        b_done.append(w.append(_df(spark, [(3, "b", 3.0)])))
+
+    th = threading.Thread(target=writer_b)
+    th.start()
+    import time as _time
+    _time.sleep(0.3)           # B is inside its commit attempt, blocked
+    assert not b_done          # ...and has NOT burned past A's manifest
+    t._flip_hint(2)            # A completes its flip...
+    lock.__exit__(None, None, None)   # ...and releases
+    th.join(timeout=30)
+    assert b_done and b_done[0] == 3
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_partition_string_dtype_roundtrip(spark, tdir):
+    """A string partition column with numeric-looking values must read
+    back as the SAME strings in the SAME schema position (Iceberg
+    restores schema from metadata; hive inference would give int 1 /
+    date 2021-06-01 at the end of the schema)."""
+    t = SnapshotLogTable(spark, tdir, partition_col="vintage")
+    df = spark.createDataFrame(
+        [(1, "01", 1.0), (2, "20210601", 2.0)],
+        "id int, vintage string, val double")
+    t.overwrite(df)
+    got = t.read()
+    assert [f.name for f in got.schema.fields] == ["id", "vintage", "val"]
+    assert dict(got.dtypes)["vintage"] == "string"
+    assert sorted(r.vintage for r in got.collect()) == ["01", "20210601"]
+    # changelog rows carry the committed schema too
+    t.append(spark.createDataFrame([(3, "07", 3.0)], df.schema))
+    ch = t.changelog(1, 2).collect()
+    assert {(r.id, r.vintage) for r in ch} == {(3, "07")}
+
+
+def test_scan_planning_prunes_files(spark, tdir):
+    """read(where=...) must list strictly fewer files than a full read
+    when per-file min/max stats allow, with identical results to a full
+    read + filter (the residual filter covers stats-uncertain files)."""
+    t = SnapshotLogTable(spark, tdir, partition_col="part")
+    rows = [(i, "a" if i < 50 else "b", float(i)) for i in range(100)]
+    # two appends -> multiple files with disjoint id ranges per partition
+    t.overwrite(_df(spark, rows[:50]))
+    t.append(_df(spark, rows[50:]))
+    all_files = t.plan_files()
+    assert len(all_files) >= 2
+    assert all(e.get("stats", {}).get("id") for e in all_files)
+    # numeric range predicate prunes by column stats
+    pruned = t.plan_files(where=[("id", ">=", 90)])
+    assert 0 < len(pruned) < len(all_files)
+    got = sorted(r.id for r in t.read(where=[("id", ">=", 90)]).collect())
+    assert got == list(range(90, 100))
+    # partition-value predicate prunes by hive directory value
+    pruned_p = t.plan_files(where=[("part", "=", "a")])
+    assert 0 < len(pruned_p) < len(all_files)
+    got_p = sorted(r.id for r in t.read(where=[("part", "=", "a")]).collect())
+    assert got_p == list(range(50))
+    # combined + in-op; equality outside every range prunes everything
+    assert t.plan_files(where=[("id", "=", 1000)]) == []
+    got_in = sorted(
+        r.id for r in t.read(where=[("id", "in", [3, 97])]).collect())
+    assert got_in == [3, 97]
+
+
 def test_seam_routes_through_snaplog(spark, tdir):
     """load_table/save_table default to the snapshot-log catalog in the
     sandbox: tagged snapshots, append commits, auto-detected reads."""
