@@ -563,8 +563,15 @@ class SnapshotLogTable:
             df = self.spark.read.option("basePath", data).parquet(*paths)
         finally:
             self.spark.conf.set(key, old)
-        return df.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # cast only where the TYPE differs (simpleString ignores
+        # nullability — Spark refuses casts that only change nested
+        # containsNull, e.g. array<array<double>> to itself)
+        cur = {f.name: f.dataType for f in df.schema.fields}
+        return df.select(*[
+            F.col(f.name) if cur[f.name].simpleString()
+            == f.dataType.simpleString()
+            else F.col(f.name).cast(f.dataType)
+            for f in schema.fields])
 
     def plan_files(self, snapshot_id: int | str | None = None,
                    where: list[tuple] | None = None) -> list[dict]:

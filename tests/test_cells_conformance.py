@@ -38,6 +38,10 @@ def _backend(name):
         return morton_cells
     if name == "rowmajor":
         return cells_rowmajor
+    if name == "s2":
+        from egp_crn_spark.functions import cells_s2 as b
+
+        return b
     from egp_crn_spark.functions import cells_h3 as b
 
     return b
@@ -53,9 +57,10 @@ def C(request):
     return _backend(request.param)
 
 
-@pytest.fixture(scope="module", params=["morton", "rowmajor", _H3_PARAM])
+@pytest.fixture(scope="module", params=["morton", "rowmajor", "s2", _H3_PARAM])
 def CB(request):
-    """ALL backends, including real h3 when the library is importable
+    """ALL backends, including the native S2 geodesic backend (always
+    available — pure numpy) and real h3 when the library is importable
     (skipped, not failed, where it is not): the backend-agnostic axioms
     below reach cells only through the point API — cell_of_xy,
     parent_cell, kring_of_xy, res_for_radius, cell_size — which is the
