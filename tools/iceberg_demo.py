@@ -139,6 +139,101 @@ def main(n=2_000_000, out_md="BENCH/ICEBERG.md"):
     lines.append(f"resume skipped {len(done)}/{DIRTY} completed partitions; "
                  f"final checksum equals single-shot result {want}")
 
+    # ---- manifest-level scan planning (VERDICT r6 #1): predicate reads
+    # prune the file list from metadata stats alone. Partition predicate
+    # first; then an id-range predicate against a table ingested in
+    # sequential chunks (time-ordered ingestion — the realistic case
+    # where per-file min/max stats are tight).
+    all_files = len(t.plan_files(s2))
+    pr_files = len(t.plan_files(s2, where=[("cell", "=", 3)]))
+    t0 = time.time()
+    ck_full = checksum(t.read(s2).filter(F.col("cell") == 3))
+    walls["full_read_filter_cell"] = time.time() - t0
+    t0 = time.time()
+    ck_pruned = checksum(t.read(s2, where=[("cell", "=", 3)]))
+    walls["pruned_read_cell"] = time.time() - t0
+    assert ck_pruned == ck_full and pr_files < all_files
+    lines.append(f"partition predicate: {pr_files}/{all_files} files planned")
+
+    base_c = base + "_chunks"
+    shutil.rmtree(base_c, ignore_errors=True)
+    tc = SnapshotLogTable(spark, base_c)
+    chunk = n // 8
+    for c in range(8):
+        df = synth(spark, chunk, 1).withColumn("id", F.col("id") + c * chunk)
+        (tc.overwrite if c == 0 else tc.append)(df)
+    lo, hi = 3 * chunk + 100, 3 * chunk + 50_000
+    pred = [("id", ">=", lo), ("id", "<=", hi)]
+    cf_all = len(tc.plan_files())
+    cf_pruned = len(tc.plan_files(where=pred))
+    t0 = time.time()
+    ck_full = checksum(tc.read().filter(
+        (F.col("id") >= lo) & (F.col("id") <= hi)))
+    walls["full_read_filter_idrange"] = time.time() - t0
+    t0 = time.time()
+    ck_pruned = checksum(tc.read(where=pred))
+    walls["pruned_read_idrange"] = time.time() - t0
+    assert ck_pruned == ck_full and 0 < cf_pruned < cf_all
+    lines.append(f"id-range stats predicate: {cf_pruned}/{cf_all} files "
+                 f"planned (chunked ingestion, per-file min/max)")
+    shutil.rmtree(base_c, ignore_errors=True)
+
+    # ---- incremental view maintenance vs recompute (VERDICT r6 #3):
+    # per-cell counts + checksum sums maintained from the changelog
+    # between vintages — reads only the rewritten partitions' files.
+    from egp_crn_spark.operators import incremental as IV
+
+    keys = ["cell"]
+    sums = {"ck": F.crc32(F.concat_ws("|", "id", "caption"))}
+    state = IV.snapshot_aggregate(t.read(s1), keys, sums).persist()
+    state.count()
+    t0 = time.time()
+    maintained = IV.maintain_aggregate(t, keys, sums, state=state,
+                                       from_id=s1, to_id=s2)
+    got_inc = {r.cell: (r._rows, r.ck) for r in maintained.collect()}
+    walls["incremental_maintain"] = time.time() - t0
+    t0 = time.time()
+    got_full = {r.cell: (r._rows, r.ck) for r in
+                IV.snapshot_aggregate(t.read(s2), keys, sums).collect()}
+    walls["recompute_aggregate"] = time.time() - t0
+    assert got_inc == got_full
+    lines.append(f"incremental aggregate over {len(got_inc)} groups equals "
+                 f"recompute exactly; reads {DIRTY}/{N_PARTS} partitions")
+
+    # small-delta leg: a 10k-row append maintained against the 2M-row
+    # table — the steady-state shape of view maintenance, where the
+    # delta/table ratio (0.5%) is what a daily vintage looks like
+    s3 = t.append(synth(spark, 10_000, 1)
+                  .withColumn("id", F.col("id") + 10 * n))
+    state2 = IV.merge_aggregate_state(
+        state, IV.aggregate_delta(t.changelog(s1, s2), keys, sums),
+        keys, sums).persist()
+    state2.count()
+    t0 = time.time()
+    got_inc3 = {r.cell: (r._rows, r.ck) for r in
+                IV.maintain_aggregate(t, keys, sums, state=state2,
+                                      from_id=s2, to_id=s3).collect()}
+    walls["incremental_maintain_small_delta"] = time.time() - t0
+    t0 = time.time()
+    got_full3 = {r.cell: (r._rows, r.ck) for r in
+                 IV.snapshot_aggregate(t.read(s3), keys, sums).collect()}
+    walls["recompute_aggregate_small_delta"] = time.time() - t0
+    assert got_inc3 == got_full3
+    # what each path SCANS is the scale-honest comparison: walls at 2M
+    # rows sit on the fixed per-job overhead floor (~0.5 s either way);
+    # at 100 TB the file counts below are the whole story
+    f2 = {e["path"]: e["rows"] for e in t._manifest(s2)["files"]}
+    f3 = {e["path"]: e["rows"] for e in t._manifest(s3)["files"]}
+    delta_rows = sum(r for p, r in f3.items() if p not in f2) \
+        + sum(r for p, r in f2.items() if p not in f3)
+    lines.append(
+        f"small-delta maintenance scans {delta_rows:,} changelog rows vs "
+        f"{sum(f3.values()):,} for recompute (walls at this scale are "
+        f"job-overhead bound; the scanned-rows ratio is the 100-TB story)")
+    t.rollback(s2)  # keep the later total_rows/read() legs on vintage 2
+    state.unpersist()
+    state2.unpersist()
+
     total_rows = t.read().count()
     lines.append(f"n={n:,} rows, {N_PARTS} partitions, {DIRTY} dirty; "
                  f"changelog net +{n_add}/-{n_del} rows (verified vs full diff)")
