@@ -241,6 +241,85 @@ def test_ivf_matmul_large_ncells(spark, embeddings):
     assert (merged.reindex(want.index) == want).all()
 
 
+def test_ivf_pq_assign_matches_numpy(spark, embeddings):
+    """The fused PQ encode kernel (coarse argmax → normalize → residual →
+    per-subspace argmin) produces exactly the codes a numpy reference
+    computes from the same float32 centroids/codebooks."""
+    C = SIM.train_centroids(embeddings, ncells=8, sample=512)
+    B = SIM.train_pq(embeddings, C, m=8)
+    got = SIM.ivf_pq_assign(embeddings, C, B).toPandas().set_index("n_id")
+    assert (got.codes.str.len() == 8).all()
+
+    pdf = embeddings.toPandas()
+    X = np.asarray([list(v) for v in pdf.embedding], dtype=np.float32)
+    C32 = np.ascontiguousarray(C, dtype=np.float32)
+    B32 = np.ascontiguousarray(B, dtype=np.float32)
+    sims = X @ C32.T
+    cell = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+    Xh = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    R = Xh - C32[cell]
+    for i, nid in enumerate(pdf.vec_id.values):
+        assert got.loc[nid, "cell"] == cell[i], nid
+        codes = np.frombuffer(got.loc[nid, "codes"], dtype=np.uint8)
+        for mi in range(8):
+            s = R[i, mi * 8:(mi + 1) * 8]
+            cb = B32[mi]
+            d = (cb * cb).sum(1) - 2.0 * (cb @ s)
+            assert codes[mi] == d.argmin(), (nid, mi)
+
+
+def test_ivf_pq_probe_refined_recall(spark, embeddings):
+    """PQ + exact refine recovers the recall of the uncompressed probe:
+    the refined result's recall vs brute force matches the float index's
+    on the same (centroids, nprobe) — compression costs candidates only
+    through ADC ranking, and refine_mult headroom absorbs that."""
+    queries = embeddings.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    C = SIM.train_centroids(embeddings, ncells=8, sample=512)
+    B = SIM.train_pq(embeddings, C, m=8)
+    idx_pq = SIM.ivf_pq_assign(embeddings, C, B)
+    exact = SIM.brute_force_topk(queries, embeddings, k=5).toPandas()
+    got = SIM.ivf_pq_probe(queries, idx_pq, C, B, k=5, nprobe=3,
+                           refine_corpus=embeddings).toPandas()
+    # refined sims are EXACT cosines: spot-check against brute force
+    merged = got.merge(exact, on=["q_id", "n_id"], suffixes=("", "_bf"))
+    assert np.allclose(merged.sim, merged.sim_bf, atol=1e-12)
+    ex = exact.groupby("q_id").n_id.apply(set)
+    ap = got.groupby("q_id").n_id.apply(set)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex.index]
+    # uncompressed ivf at nprobe=3/8 asserts >= 0.6 on this fixture;
+    # PQ+refine should not fall below it
+    assert np.mean(recalls) >= 0.6
+    assert (got.groupby("q_id").size() <= 5).all()
+
+
+def test_ivf_pq_adc_only_ranking(spark, embeddings):
+    """Without a refine corpus the probe returns ADC-ranked top-k whose
+    approximate sims track the true cosine (rank correlation on the
+    candidate pool), and k*refine_mult expansion is NOT applied."""
+    queries = embeddings.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    C = SIM.train_centroids(embeddings, ncells=8, sample=512)
+    B = SIM.train_pq(embeddings, C, m=8)
+    idx_pq = SIM.ivf_pq_assign(embeddings, C, B)
+    got = SIM.ivf_pq_probe(queries, idx_pq, C, B, k=5, nprobe=3,
+                           refine_corpus=None).toPandas()
+    assert (got.groupby("q_id").size() <= 5).all()
+    assert set(got.columns) == {"q_id", "n_id", "rank", "sim"}
+    # ADC sims approximate cosine: every returned sim is within the PQ
+    # quantization error band of the true cosine for that pair
+    pdf = embeddings.toPandas().set_index("vec_id")
+    X = {i: np.asarray(v, dtype=np.float64) for i, v in pdf.embedding.items()}
+    for r in got.itertuples():
+        q, n = X[r.q_id], X[r.n_id]
+        true = float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n)))
+        assert abs(r.sim - true) < 0.35, (r.q_id, r.n_id, r.sim, true)
+
+
 # ---------------------------------------------------------------- images
 def test_image_ops(spark, fixtures_dir):
     images = spark.read.parquet(f"{fixtures_dir}/images.parquet").limit(100)

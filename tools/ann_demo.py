@@ -23,8 +23,11 @@ from egp_crn_spark.config import env_cpus  # noqa: E402
 from egp_crn_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_assign,
+    ivf_pq_assign,
+    ivf_pq_probe,
     ivf_probe,
     train_centroids,
+    train_pq,
 )
 from egp_crn_spark.session import get_session  # noqa: E402
 
@@ -40,6 +43,11 @@ K = 10
 IVF_CONFIGS = [(64, 8, 4096, "float64"), (1024, 32, 8192, "float64"),
                (1024, 32, 8192, "float32")]
 N_QUERIES = 50
+# synth_vectors defaults — echoed into the report header
+N_CLUSTERS = 256
+NOISE = 0.45
+PQ_M = 16   # 64-dim / 16 subspaces: within-cluster resolution
+PQ_REFINE = 32  # ADC finalists = k x 32 re-ranked exactly
 
 
 from egp_crn_spark.synth import synth_vectors  # noqa: E402
@@ -108,6 +116,56 @@ def main() -> None:
         })
         index.unpersist()
 
+    # ---------------- IVF-PQ: compressed index (VERDICT r6 #4) --------
+    # At 10^12 rows the float32 vector payload is petabytes; PQ stores
+    # PQ_M residual bytes per vector instead. Compare on-DISK parquet
+    # sizes of the two index shapes (the honest metric — that is what a
+    # bucketed serving table costs), ADC-only recall, and ADC + exact
+    # refine recall.
+    import shutil
+    import subprocess
+
+    pq_cfg = {"ncells": 1024, "nprobe": 32, "sample": 8192}
+    t0 = time.perf_counter()
+    C = train_centroids(corpus, pq_cfg["ncells"], sample=pq_cfg["sample"])
+    B = train_pq(corpus, C, m=PQ_M)
+    pq_train_s = time.perf_counter() - t0
+    build_s = float("inf")
+    pq_index = None
+    for _ in range(2):
+        if pq_index is not None:
+            pq_index.unpersist()
+        t0 = time.perf_counter()
+        pq_index = ivf_pq_assign(corpus, C, B).cache()
+        pq_index.count()
+        build_s = min(build_s, time.perf_counter() - t0)
+    results["ivf_pq_build"] = {"sec": round(build_s, 2),
+                               "vectors_per_sec": round(n / build_s, 1)}
+    print("ivf_pq_build", results["ivf_pq_build"], flush=True)
+
+    def disk_bytes(df, name):
+        p = os.path.join(REPO, ".data", f"ann_demo_idx_{name}")
+        shutil.rmtree(p, ignore_errors=True)
+        df.write.mode("overwrite").parquet(p)
+        out = subprocess.run(["du", "-sb", p], capture_output=True, text=True)
+        return int(out.stdout.split()[0])
+
+    f32_index = ivf_assign(corpus, C, dtype="float32")
+    size_f32 = disk_bytes(f32_index, "f32")
+    size_pq = disk_bytes(pq_index, "pq")
+    compression = size_f32 / size_pq
+
+    adc = run("ivf_pq_adc_probe",
+              ivf_pq_probe(queries, pq_index, C, B, k=K,
+                           nprobe=pq_cfg["nprobe"]))
+    recall_adc = adc.join(bf, ["q_id", "n_id"], "left_semi").count() / (nq * K)
+    ref = run("ivf_pq_refined_probe",
+              ivf_pq_probe(queries, pq_index, C, B, k=K,
+                           nprobe=pq_cfg["nprobe"], refine_corpus=corpus,
+                           refine_mult=PQ_REFINE))
+    recall_ref = ref.join(bf, ["q_id", "n_id"], "left_semi").count() / (nq * K)
+    pq_index.unpersist()
+
     head = ivf_rows[0]
     recall = head["recall"]
     speedup = results["brute_force"]["sec"] / head["probe"]["sec"]
@@ -134,6 +192,35 @@ IVF: {NCELLS} cells (k-means on a seeded 4096-vector sample,
                     for r in ivf_rows
                 )
                 + f"""
+| IVF-PQ 1024-cell m={PQ_M} index build (once) | {results['ivf_pq_build']['sec']} | {results['ivf_pq_build']['vectors_per_sec']:,.0f} vec/s | — |
+| IVF-PQ ADC-only probe (nprobe={pq_cfg['nprobe']}) | {results['ivf_pq_adc_probe']['sec']} | {results['ivf_pq_adc_probe']['pair_throughput']:,.0f} | {recall_adc:.3f} |
+| IVF-PQ ADC + exact refine (x{PQ_REFINE} finalists) | {results['ivf_pq_refined_probe']['sec']} | {results['ivf_pq_refined_probe']['pair_throughput']:,.0f} | {recall_ref:.3f} |
+
+## IVF-PQ compressed index (similarity.ivf_pq_assign / ivf_pq_probe)
+
+Product quantization stores each vector as {PQ_M} residual bytes (unit-
+normalized against its coarse centroid, per-subspace 256-entry codebooks
+trained on the same deterministic 4096-row sample). On disk as parquet:
+
+| index shape | bytes | bytes/vector |
+|---|---|---|
+| float32 IVF index (n_id, cv, cell, _cn) | {size_f32:,} | {size_f32 / n:.1f} |
+| PQ index (n_id, cell, {PQ_M} codes) | {size_pq:,} | {size_pq / n:.1f} |
+
+**{compression:.1f}x smaller** (target >= 8x). Probe scores candidates by
+asymmetric distance — per-query lookup tables T_m[c] = dot(q_m, cb_m[c])
+built once per unique query per Arrow batch, then a zero-copy byte-gather
++ sum per candidate — and the refined path re-ranks the top
+k x {PQ_REFINE} ADC finalists EXACTLY via an equi-join against the
+uncompressed corpus (touching finalists only). Refined
+recall@{K} = {recall_ref:.3f} at {compression:.0f}x compression (ADC-only
+{recall_adc:.3f} — this corpus's true neighbours differ only in their
+within-cluster residual, the hardest case for PQ; the exact-refine stage
+is what restores recall, for ~{50 * K * PQ_REFINE:,} corpus-row lookups
+per {nq}-query batch). m tunes the point: m=8 stores half the bytes at
+refined recall ~0.73 (train_pq docstring tabulates the measured curve).
+PQ is opt-in; the uncompressed probe path and the ivf_topk oracle are
+unchanged.
 
 Probe speedup {speedup:.1f}x vs brute force at recall {recall:.3f};
 the O(corpus x ncells) index build amortizes across query batches.
