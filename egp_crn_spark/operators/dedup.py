@@ -496,7 +496,9 @@ def cosine_sim(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    # denominator floor: bit-identical for nonzero norms, and a zero
+    # vector scores 0.0 instead of DIVIDE_BY_ZERO under ANSI mode
+    return dot / F.greatest(na * nb, F.lit(1e-300))
 
 
 # above this bit-term count (num_planes x dim multiply-adds unrolled as

@@ -37,6 +37,16 @@ def _dot(a, b) -> "F.Column":
                        F.lit(0.0), lambda s, v: s + v)
 
 
+def _safe_den(den) -> "F.Column":
+    """Cosine denominator floor: bit-identical for every nonzero norm
+    product (real norms are >= ~1e-12, their products >= ~1e-24 >>
+    1e-300), but a ZERO vector in the corpus or query scores sim 0.0
+    instead of killing the whole job with DIVIDE_BY_ZERO under ANSI
+    mode (Spark 4 default) — same convention as the numpy kernels'
+    max(norm, eps)."""
+    return F.greatest(den, F.lit(1e-300))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,7 +70,8 @@ def brute_force_topk(
     c = c.withColumn("_cn", _norm(F.col("cv")))
     scored = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
+        (_dot(F.col("qv"), F.col("cv"))
+         / _safe_den(F.col("_qn") * F.col("_cn"))).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -325,7 +336,8 @@ def ivf_probe(
     # a future multi-assignment index variant can't silently double-count.
     scored = probes.join(index, "cell").filter(F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
+        (_dot(F.col("qv"), F.col("cv"))
+         / _safe_den(F.col("_qn") * F.col("_cn"))).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -387,8 +399,8 @@ def train_pq(corpus: DataFrame, centroids: np.ndarray, m: int = 8,
     for mi in range(m):
         S = R[:, mi * dsub:(mi + 1) * dsub]
         cb = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
-        if len(cb) < k:  # degenerate tiny sample: pad with repeats
-            cb = np.concatenate([cb, cb[: k - len(cb)]])
+        if len(cb) < k:  # degenerate tiny sample: tile up to k codes
+            cb = np.tile(cb, (-(-k // len(cb)), 1))[:k]
         for _ in range(iters):
             d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2) \
                 if len(S) * k * dsub < 5e7 else None
@@ -533,7 +545,7 @@ def ivf_pq_probe(queries: DataFrame, index_pq: DataFrame,
                           Qu.reshape(len(uq), m, dsub), B)
             qc = Qu @ C.T                       # (u, ncells)
             adc = T[uidx[:, None], np.arange(m)[None, :], codes].sum(axis=1)
-            sim = (qc[uidx, cell] + adc) / qn
+            sim = (qc[uidx, cell] + adc) / np.maximum(qn, 1e-300)
             yield pa.RecordBatch.from_arrays(
                 [b.column(0), b.column(4),
                  pa.array(sim, type=pa.float64())],
@@ -556,7 +568,7 @@ def ivf_pq_probe(queries: DataFrame, index_pq: DataFrame,
     exact = (top.select("q_id", "n_id").join(ref, "n_id").join(qside, "q_id")
              .select("q_id", "n_id",
                      (_dot(F.col("qv"), F.col("cv"))
-                      / (F.col("_qn") * F.col("_cn"))).alias("sim")))
+                      / _safe_den(F.col("_qn") * F.col("_cn"))).alias("sim")))
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "rank", "sim"))

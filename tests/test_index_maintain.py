@@ -1,0 +1,137 @@
+"""Incremental ANN-index maintenance == from-scratch rebuild, exactly
+(operators/index_maintain.py over sources/snaplog.py changelogs).
+
+The maintained live index must equal the index built fresh from the
+current corpus snapshot AS A SET (ignoring the _as_of generation stamp),
+for both the float32 IVF shape and the PQ shape — hence identical probe
+results. Vintage sequences include appends, partition rewrites that
+re-state unchanged rows (file-level changelog), and in-place vector
+updates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from egp_crn_spark.operators import index_maintain as IM
+from egp_crn_spark.operators.similarity import (ivf_probe, train_centroids,
+                                                train_pq)
+from egp_crn_spark.sources.snaplog import SnapshotLogTable
+
+DIM = 16
+
+
+def _vec(i: int, bump: int = 0):
+    rng = np.random.default_rng(1000 * (i + 1) + bump)
+    return [float(x) for x in rng.uniform(-1.0, 1.0, DIM)]
+
+
+def _rows(ids, part, bump=0):
+    return [(i, part, _vec(i, bump)) for i in ids]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id int, part string, embedding array<double>")
+
+
+def _index_set(df, pq):
+    cols = ["n_id", "cell", "codes"] if pq else ["n_id", "cell", "cv", "_cn"]
+    out = df.select(*cols).collect()
+    if pq:
+        return {(r.n_id, r.cell, bytes(r.codes)) for r in out}
+    return {(r.n_id, r.cell, tuple(r.cv), r._cn) for r in out}
+
+
+@pytest.fixture(scope="module")
+def trained(spark, tmp_path_factory):
+    """Corpus table with 3 vintages + centroids/codebooks trained on v1."""
+    t = SnapshotLogTable(
+        spark, str(tmp_path_factory.mktemp("ann") / "corpus"),
+        partition_col="part")
+    s1 = t.overwrite(_df(spark, _rows(range(40), "a") + _rows(range(40, 80), "b")))
+    C = train_centroids(t.read(s1), ncells=8, sample=64)
+    B = train_pq(t.read(s1), C, m=4, sample=64)
+    # v2: rewrite partition b — ids 40..59 updated VECTORS (bump=1),
+    # 60..79 re-stated unchanged, 80..89 new in b
+    s2 = t.overwrite_partitions(_df(
+        spark, _rows(range(40, 60), "b", bump=1) + _rows(range(60, 80), "b")
+        + _rows(range(80, 90), "b")))
+    # v3: plain append in partition c
+    s3 = t.append(_df(spark, _rows(range(200, 230), "c")))
+    return t, C, B, (s1, s2, s3)
+
+
+@pytest.mark.parametrize("pq", [False, True], ids=["float", "pq"])
+def test_maintained_equals_rebuild(spark, trained, pq):
+    t, C, B, (s1, s2, s3) = trained
+    books = B if pq else None
+    idx, tombs = IM.build_index_state(t.read(s1), C, s1, codebooks=books)
+    for frm, to in [(s1, s2), (s2, s3)]:
+        idx, tombs = IM.maintain_ivf_index(t, C, frm, to, idx, tombs,
+                                           codebooks=books)
+        live = IM.live_index(idx, tombs)
+        want, _ = IM.build_index_state(t.read(to), C, to, codebooks=books)
+        assert _index_set(live, pq) == _index_set(want, pq), (frm, to, pq)
+    # updated ids must carry their NEW encoding (vector changed at v2)
+    live = IM.live_index(idx, tombs)
+    fresh, _ = IM.build_index_state(t.read(s3), C, s3, codebooks=books)
+    upd_live = _index_set(live.filter(F.col("n_id") < 60).filter("n_id >= 40"), pq)
+    upd_fresh = _index_set(fresh.filter(F.col("n_id") < 60).filter("n_id >= 40"), pq)
+    assert upd_live == upd_fresh and len(upd_live) == 20
+
+
+def test_probe_over_live_index_matches_rebuild(spark, trained):
+    t, C, B, (s1, s2, s3) = trained
+    idx, tombs = IM.build_index_state(t.read(s1), C, s1)
+    for frm, to in [(s1, s2), (s2, s3)]:
+        idx, tombs = IM.maintain_ivf_index(t, C, frm, to, idx, tombs)
+    live = IM.live_index(idx, tombs)
+    fresh, _ = IM.build_index_state(t.read(s3), C, s3)
+    queries = t.read(s3).filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    a = ivf_probe(queries, live, C, k=3, nprobe=3).collect()
+    b = ivf_probe(queries, fresh, C, k=3, nprobe=3).collect()
+    key = lambda r: (r.q_id, r.rank)  # noqa: E731
+    assert sorted(((r.q_id, r.rank, r.n_id) for r in a)) == \
+        sorted(((r.q_id, r.rank, r.n_id) for r in b))
+    assert len(a) > 0
+
+
+def test_dead_rows_never_eat_rank_slots(spark, trained):
+    """Filtering happens before top-k: a deleted id must not appear AND
+    its former rank slot must be filled by the next live neighbour."""
+    t, C, B, (s1, s2, s3) = trained
+    idx, tombs = IM.build_index_state(t.read(s1), C, s1)
+    for frm, to in [(s1, s2), (s2, s3)]:
+        idx, tombs = IM.maintain_ivf_index(t, C, frm, to, idx, tombs)
+    live = IM.live_index(idx, tombs)
+    k = 5
+    queries = t.read(s3).filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    got = ivf_probe(queries, live, C, k=k, nprobe=8).collect()
+    live_ids = {r.n_id for r in live.select("n_id").collect()}
+    assert all(r.n_id in live_ids for r in got)
+    assert len(got) == min(k, len(live_ids) - 1)
+
+
+def test_compaction_resets_state(spark, trained):
+    t, C, B, (s1, s2, s3) = trained
+    idx, tombs = IM.build_index_state(t.read(s1), C, s1)
+    for frm, to in [(s1, s2), (s2, s3)]:
+        idx, tombs = IM.maintain_ivf_index(t, C, frm, to, idx, tombs)
+    n_raw = idx.count()
+    live, tombs2 = IM.compact_index(idx, tombs)
+    assert tombs2.count() == 0
+    assert live.count() < n_raw  # dead generations physically dropped
+    want, _ = IM.build_index_state(t.read(s3), C, s3)
+    assert _index_set(live, False) == _index_set(want, False)
+    # a post-compaction maintenance step still composes
+    s4 = t.append(_df(spark, _rows(range(300, 310), "d")))
+    idx2, tombs3 = IM.maintain_ivf_index(t, C, s3, s4, live, tombs2)
+    want4, _ = IM.build_index_state(t.read(s4), C, s4)
+    assert _index_set(IM.live_index(idx2, tombs3), False) == \
+        _index_set(want4, False)

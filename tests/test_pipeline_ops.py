@@ -660,3 +660,21 @@ def test_phash_near_dup_planted(spark):
     full = phash_near_dup(df.filter(F.col("image_id").startswith("dup")),
                           max_hamming=0, max_bucket=1000)
     assert full.count() == 50 * 49 // 2
+
+
+def test_zero_vector_rows_score_not_crash(spark, embeddings):
+    """A zero embedding in corpus or queries must score sim 0.0 (numpy
+    kernels' max(norm, eps) convention), not kill the job with
+    DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)."""
+    from pyspark.sql import Row
+    zero = spark.createDataFrame(
+        [Row(vec_id=999999, embedding=[0.0] * 64)])
+    corpus = embeddings.select("vec_id", "embedding").unionByName(zero)
+    queries = corpus.filter("vec_id in (0, 999999)").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    got = SIM.brute_force_topk(queries, corpus, k=3).toPandas()
+    assert set(got.q_id) == {0, 999999}
+    assert (got[got.q_id == 999999].sim == 0.0).all()
+    ivf = SIM.ivf_topk(queries, corpus, k=3, ncells=8, nprobe=8).toPandas()
+    assert (ivf[ivf.q_id == 999999].sim == 0.0).all()
