@@ -135,3 +135,45 @@ def test_compaction_resets_state(spark, trained):
     want4, _ = IM.build_index_state(t.read(s4), C, s4)
     assert _index_set(IM.live_index(idx2, tombs3), False) == \
         _index_set(want4, False)
+
+
+def test_streaming_ingest_then_maintain(spark, tmp_path):
+    """Composition: micro-batches land in the corpus through the
+    exactly-once catalog ingest (one atomic hint flip per batch), then
+    the index maintains along the committed snapshot chain — the
+    continuous-ingestion posture of a production ANN pipeline. Final
+    live index == from-scratch rebuild of the head snapshot."""
+    import pandas as pd
+
+    from egp_crn_spark.streaming import catalog_ingest_stream
+
+    t = SnapshotLogTable(spark, str(tmp_path / "stream_corpus"),
+                         partition_col="part")
+    s0 = t.overwrite(_df(spark, _rows(range(30), "a")))
+    C = train_centroids(t.read(s0), ncells=4, sample=32)
+    idx, tombs = IM.build_index_state(t.read(s0), C, s0)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema(
+        "vec_id int, part string, embedding array<double>").parquet(str(src))
+    q = catalog_ingest_stream(stream, t, lambda d: d,
+                              str(tmp_path / "ck")).start()
+    for b in range(2):
+        ids = range(100 + 10 * b, 110 + 10 * b)
+        pd.DataFrame({
+            "vec_id": list(ids), "part": [f"s{b}"] * 10,
+            "embedding": [_vec(i) for i in ids],
+        }).to_parquet(src / f"b{b}.parquet")
+        q.processAllAvailable()
+    q.stop()
+
+    chain = sorted(s["snapshot_id"] for s in t.snapshots()
+                   if s["snapshot_id"] >= s0)
+    assert len(chain) == 3  # s0 + one commit per micro-batch
+    for frm, to in zip(chain, chain[1:]):
+        idx, tombs = IM.maintain_ivf_index(t, C, frm, to, idx, tombs)
+    live = IM.live_index(idx, tombs)
+    want, _ = IM.build_index_state(t.read(chain[-1]), C, chain[-1])
+    assert _index_set(live, False) == _index_set(want, False)
+    assert live.count() == 50

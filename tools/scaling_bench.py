@@ -54,6 +54,10 @@ JOBS = {
                    "Arrow-buffer/memory-bandwidth-bound (vectors stream through one "
                    "bus; BLAS pinned to 1 thread/worker — see session.py): "
                    "treat like tile_assign as a lower bound"),
+    "pq_encode": ("IVF-PQ residual encode (fused coarse-assign + 16-subspace argmin mapInArrow, 4×1M×64-dim)",
+                  "numpy-compute-heavier per row than ivf_assign — more "
+                  "per-core work per byte moved, between refine_kernel "
+                  "and ivf_assign on the compute/bandwidth spectrum"),
 }
 
 MODES = {

@@ -112,8 +112,23 @@ def main() -> None:
     run("ivf_assign", lambda: ivf_assign(corpus, cmat, dtype="float32")
         .groupBy("cell").count())
 
+    # IVF-PQ encode: the fused coarse-assign + residual + per-subspace
+    # argmin kernel (similarity.ivf_pq_assign) — heavier per-row numpy
+    # compute than the plain quantizer (m extra small matmuls/argmins
+    # per batch), the compressed-index build stage.
+    from egp_crn_spark.operators.similarity import ivf_pq_assign
+
+    bmat = rng.standard_normal((16, 256, 4)) * 0.05
+    # 4-way self-union: at 1M rows the encode is task-overhead bound
+    # (the same reason tile_assign unions 4x) — 4M rows makes the
+    # per-batch numpy work the measured quantity
+    corpus4 = corpus.unionByName(corpus).unionByName(corpus).unionByName(corpus)
+    run("pq_encode", lambda: ivf_pq_assign(corpus4, cmat, bmat)
+        .groupBy("cell").agg(F.count("*"), F.max(F.length("codes"))))
+
     rows = {"tile_assign": 4 * n_images, "pip_images": n_images,
-            "refine_kernel": n_images, "ivf_assign": n_vecs}
+            "refine_kernel": n_images, "ivf_assign": n_vecs,
+            "pq_encode": 4 * n_vecs}
     print(json.dumps({"secs": secs, "rows": rows, "cpus": cpus}))
     spark.stop()
 
