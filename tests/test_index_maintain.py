@@ -162,7 +162,8 @@ def test_streaming_ingest_then_maintain(spark, tmp_path):
     for b in range(2):
         ids = range(100 + 10 * b, 110 + 10 * b)
         pd.DataFrame({
-            "vec_id": list(ids), "part": [f"s{b}"] * 10,
+            "vec_id": pd.array(list(ids), dtype="int32"),
+            "part": [f"s{b}"] * 10,
             "embedding": [_vec(i) for i in ids],
         }).to_parquet(src / f"b{b}.parquet")
         q.processAllAvailable()
