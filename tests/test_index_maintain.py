@@ -178,3 +178,52 @@ def test_streaming_ingest_then_maintain(spark, tmp_path):
     want, _ = IM.build_index_state(t.read(chain[-1]), C, chain[-1])
     assert _index_set(live, False) == _index_set(want, False)
     assert live.count() == 50
+
+
+def test_index_persists_in_partitioned_snaplog_with_dirty_band_compaction(
+        spark, tmp_path):
+    """The full persistence loop the module docstring promises: the
+    index lives in a snaplog table partitioned by cell band; maintenance
+    APPENDS delta rows; compaction rewrites ONLY dirty bands via
+    overwrite_partitions — clean bands' data files carry over
+    unrewritten, and the compacted table equals a from-scratch rebuild."""
+    t = SnapshotLogTable(spark, str(tmp_path / "corpus"),
+                         partition_col="part")
+    s1 = t.overwrite(_df(spark, _rows(range(60), "a")))
+    C = train_centroids(t.read(s1), ncells=8, sample=64)
+
+    def with_band(df):
+        return df.withColumn("band", (F.col("cell") % 4).cast("string"))
+
+    it = SnapshotLogTable(spark, str(tmp_path / "index"),
+                          partition_col="band")
+    idx, tombs = IM.build_index_state(t.read(s1), C, s1)
+    it.overwrite(with_band(idx))
+
+    # vintage 2: delete-and-update ids 0..9 (rewrite partition a)
+    s2 = t.overwrite_partitions(_df(
+        spark, _rows(range(10), "a", bump=2) + _rows(range(10, 60), "a")))
+    appends, new_tombs = IM.index_delta(t.changelog(s1, s2), C, s2)
+    it.append(with_band(appends))
+    tombs = tombs.unionByName(new_tombs)
+
+    # dirty bands = bands holding rows the live rule kills
+    full = it.read().drop("band")
+    live = IM.live_index(full, tombs)
+    dead = full.exceptAll(live)
+    dirty = {r.band for r in with_band(dead).select("band").distinct().collect()}
+    assert 0 < len(dirty) <= 4
+
+    before = {e["path"] for e in it.plan_files()}
+    clean_before = {p for p in before
+                    if not any(f"band={b}" in p for b in dirty)}
+    it.overwrite_partitions(
+        with_band(live).filter(F.col("band").isin(*dirty)))
+    after = {e["path"] for e in it.plan_files()}
+    # untouched bands carry their exact files; dirty bands rewrote
+    assert clean_before <= after
+    assert not any(p in after for p in before - clean_before)
+
+    want, _ = IM.build_index_state(t.read(s2), C, s2)
+    got = it.read().drop("band")
+    assert _index_set(got, False) == _index_set(want, False)

@@ -206,3 +206,30 @@ def test_partitioned_write_prunes_on_tile_predicate(spark, tmp_path):
     pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
     assert "cell_id" in pf and "2" in pf
     assert out.count() == 2
+
+
+def test_ivf_pq_probe_broadcasts_queries_never_shuffles_index(spark):
+    """Same serving contract for the COMPRESSED index: probes broadcast
+    into the candidate join, the PQ index never sort-merge-shuffles, and
+    the only Python stages are the probe-cell quantizer and the ADC
+    kernel (the refine join is pure JVM)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from egp_crn_spark.operators.similarity import (ivf_pq_assign,
+                                                    ivf_pq_probe)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rng = np.random.default_rng(3)
+    C = rng.standard_normal((32, 64))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    B = rng.standard_normal((8, 256, 8)) * 0.05
+    index = ivf_pq_assign(emb, C, B)
+    queries = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    df = ivf_pq_probe(queries, index, C, B, k=3, nprobe=4,
+                      refine_corpus=emb)
+    p = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), "probe side must broadcast"
+    assert "SortMergeJoin" not in p, "index side must never sort-merge-shuffle"
