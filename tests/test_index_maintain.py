@@ -227,3 +227,49 @@ def test_index_persists_in_partitioned_snaplog_with_dirty_band_compaction(
     want, _ = IM.build_index_state(t.read(s2), C, s2)
     got = it.read().drop("band")
     assert _index_set(got, False) == _index_set(want, False)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_vintage_sequences_maintain_exactly(spark, tmp_path, seed):
+    """Randomized model test (snaplog-style): a random sequence of
+    appends / partition rewrites (with in-place vector updates, drops,
+    and re-stated rows) maintained step-by-step equals the rebuild at
+    EVERY snapshot."""
+    import random
+
+    rng = random.Random(seed)
+    t = SnapshotLogTable(spark, str(tmp_path / f"rand{seed}"),
+                         partition_col="part")
+    parts = ["a", "b", "c"]
+    model = {p: {i: 0 for i in range(20 * k, 20 * k + 20)}
+             for k, p in enumerate(parts)}  # part -> {id: bump}
+    next_id = 1000
+
+    def rows_of(p):
+        return [(i, p, _vec(i, bump)) for i, bump in model[p].items()]
+
+    s = t.overwrite(_df(spark, [r for p in parts for r in rows_of(p)]))
+    C = train_centroids(t.read(s), ncells=4, sample=64)
+    idx, tombs = IM.build_index_state(t.read(s), C, s)
+
+    for step in range(4):
+        op = rng.choice(["append", "rewrite"])
+        if op == "append":
+            p = rng.choice(parts)
+            new = {next_id + j: 0 for j in range(rng.randint(1, 8))}
+            model[p].update(new)
+            next_id += 10
+            s2 = t.append(_df(spark, [(i, p, _vec(i)) for i in new]))
+        else:
+            p = rng.choice(parts)
+            ids = list(model[p])
+            for i in rng.sample(ids, k=min(5, len(ids))):
+                model[p][i] += 1  # in-place vector update
+            for i in rng.sample(list(model[p]), k=min(3, len(model[p]) - 1)):
+                del model[p][i]  # dropped rows
+            s2 = t.overwrite_partitions(_df(spark, rows_of(p)))
+        idx, tombs = IM.maintain_ivf_index(t, C, s, s2, idx, tombs)
+        s = s2
+        live = IM.live_index(idx, tombs)
+        want, _ = IM.build_index_state(t.read(s), C, s)
+        assert _index_set(live, False) == _index_set(want, False), (seed, step, op)
