@@ -229,6 +229,36 @@ def main() -> None:
               "fall back to shuffle joins.",
     ))
 
+    # 10) IVF-PQ compressed serving: probes broadcast, the index is
+    # never sort-merge-shuffled, Python confined to the quantizer + ADC
+    import numpy as np
+
+    from egp_crn_spark.operators.similarity import (ivf_pq_assign,
+                                                    ivf_pq_probe)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    prng = np.random.default_rng(3)
+    Cq = prng.standard_normal((32, 64))
+    Cq /= np.linalg.norm(Cq, axis=1, keepdims=True)
+    Bq = prng.standard_normal((8, 256, 8)) * 0.05
+    pq_index = ivf_pq_assign(emb, Cq, Bq)
+    pq_queries = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    audits.append(audit(
+        "ivf_pq_probe (compressed ANN serving, ADC + exact refine)",
+        ivf_pq_probe(pq_queries, pq_index, Cq, Bq, k=3, nprobe=4,
+                     refine_corpus=emb),
+        wants=[("probe side broadcast", r"BroadcastHashJoin")],
+        forbids=[("index sort-merge-shuffled", r"SortMergeJoin"),
+                 ("per-row Python UDF", r"BatchEvalPython"),
+                 ("cartesian product", r"CartesianProduct")],
+        notes="The 10.8x-compressed index streams through the broadcast "
+              "candidate join and the ADC mapInArrow kernel; the exact "
+              "refine equi-join touches k x refine_mult finalists only "
+              "and both its sides avoid sort-merge exchanges.",
+    ))
+
     all_ok = all(a["ok"] for a in audits)
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     with open(out, "w") as f:
