@@ -442,6 +442,14 @@ def ivf_pq_assign(corpus: DataFrame, centroids: np.ndarray,
     def gen(batches):
         C, B = bc_C.value, bc_B.value
         m, _k, dsub = B.shape
+        # codebook norms hoisted once per task; ROW-BLOCKED encode keeps
+        # the (block, 256) distance temporaries cache-resident instead of
+        # streaming (n, 256) x m through the memory bus per batch —
+        # measured 1.2x single-core at 8k-row batches (block=2048), and
+        # the stage is bandwidth-bound at high worker counts where the
+        # saved traffic matters most (BENCH/BASELINE.md pq_encode)
+        cn2 = np.stack([(B[mi] * B[mi]).sum(1) for mi in range(m)])
+        BLOCK = 2048
         for b in batches:
             n = b.num_rows
             if not n:
@@ -455,18 +463,21 @@ def ivf_pq_assign(corpus: DataFrame, centroids: np.ndarray,
             X = flat.to_numpy(zero_copy_only=False).reshape(n, C.shape[1])
             if X.dtype != np.float32:
                 X = X.astype(np.float32)
-            sims = X @ C.T
-            cell = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
-            Xh = X / np.maximum(
-                np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            R = Xh - C[cell]
+            cell = np.empty(n, dtype=np.int64)
             codes = np.empty((n, m), dtype=np.uint8)
-            for mi in range(m):
-                S = R[:, mi * dsub:(mi + 1) * dsub]
-                cb = B[mi]
-                # argmin ||s - c||^2 = argmin (|c|^2 - 2 s.c)
-                d = (cb * cb).sum(1)[None, :] - 2.0 * (S @ cb.T)
-                codes[:, mi] = d.argmin(axis=1).astype(np.uint8)
+            for s in range(0, n, BLOCK):
+                Xb = X[s:s + BLOCK]
+                sims = Xb @ C.T
+                cb_cell = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+                Xh = Xb / np.maximum(
+                    np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
+                R = Xh - C[cb_cell]
+                for mi in range(m):
+                    S = R[:, mi * dsub:(mi + 1) * dsub]
+                    # argmin ||s - c||^2 = argmin (|c|^2 - 2 s.c)
+                    d = cn2[mi][None, :] - 2.0 * (S @ B[mi].T)
+                    codes[s:s + BLOCK, mi] = d.argmin(axis=1).astype(np.uint8)
+                cell[s:s + BLOCK] = cb_cell
             yield pa.RecordBatch.from_arrays(
                 [b.column(b.schema.get_field_index("n_id")),
                  pa.array(cell.astype("int32"), type=pa.int32()),
