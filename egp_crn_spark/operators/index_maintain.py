@@ -129,6 +129,37 @@ def build_index_state(corpus: DataFrame, centroids: np.ndarray,
     return idx, empty_tombs
 
 
+def cell_balance(index: DataFrame, tombstones: DataFrame | None = None
+                 ) -> dict:
+    """Centroid-drift monitor: per-cell live-row balance of a maintained
+    index. Incremental maintenance keeps assignments correct for FIXED
+    centroids, but a drifting corpus skews cells — probe cost follows
+    the hottest probed cells, so skew (not staleness) is the signal to
+    retrain centroids and rebuild. One metadata-sized aggregate
+    (ncells rows to the driver).
+
+    Returns {cells, rows, mean, max, p99, max_over_mean, p99_over_mean};
+    a healthy index keeps max_over_mean within ~an order of magnitude —
+    compare against the ratio at build time rather than an absolute
+    threshold (clustered corpora are never uniform)."""
+    live = index if tombstones is None else live_index(index, tombstones)
+    counts = live.groupBy("cell").count()
+    row = counts.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.sum("count").alias("rows"),
+        F.mean("count").alias("mean"),
+        F.max("count").alias("max"),
+        F.percentile_approx("count", 0.99).alias("p99"),
+    ).first()
+    return {
+        "cells": row["cells"], "rows": row["rows"],
+        "mean": float(row["mean"]), "max": int(row["max"]),
+        "p99": int(row["p99"]),
+        "max_over_mean": float(row["max"] / row["mean"]),
+        "p99_over_mean": float(row["p99"] / row["mean"]),
+    }
+
+
 def compact_index(index: DataFrame, tombstones: DataFrame
                   ) -> tuple[DataFrame, DataFrame]:
     """Fold tombstones in physically: live rows only, tombstones reset.

@@ -273,3 +273,22 @@ def test_random_vintage_sequences_maintain_exactly(spark, tmp_path, seed):
         live = IM.live_index(idx, tombs)
         want, _ = IM.build_index_state(t.read(s), C, s)
         assert _index_set(live, False) == _index_set(want, False), (seed, step, op)
+
+
+def test_cell_balance_flags_drift(spark, trained):
+    """A corpus that drifts into one region (all new vectors near a
+    single centroid) must push max_over_mean well past the build-time
+    ratio — the retrain/rebuild signal the docstring promises."""
+    t, C, B, (s1, s2, s3) = trained
+    idx, _ = IM.build_index_state(t.read(s1), C, s1)
+    base = IM.cell_balance(idx)
+    assert base["rows"] == 80 and base["cells"] <= 8
+    # drifted corpus: 400 copies of (near) centroid 0's direction
+    drift = spark.createDataFrame(
+        [(5000 + i, "z", [float(x) + 0.01 * (i % 3) for x in C[0]])
+         for i in range(400)],
+        "vec_id int, part string, embedding array<double>")
+    idx2, _ = IM.build_index_state(t.read(s1).unionByName(drift), C, s1)
+    skewed = IM.cell_balance(idx2)
+    assert skewed["rows"] == 480
+    assert skewed["max_over_mean"] > 2 * base["max_over_mean"]

@@ -233,3 +233,20 @@ def test_ivf_pq_probe_broadcasts_queries_never_shuffles_index(spark):
     p = plans.physical_plan(df)
     assert plans.has_broadcast_join(df), "probe side must broadcast"
     assert "SortMergeJoin" not in p, "index side must never sort-merge-shuffle"
+
+
+def test_incremental_merge_single_exchange(spark):
+    """merge_aggregate_state = union + re-aggregate: exactly ONE
+    map-side-combinable shuffle, never an outer join (which would add a
+    second exchange and miss null group keys)."""
+    from egp_crn_spark.operators import incremental as IV
+
+    state = spark.createDataFrame(
+        [("a", 1, 2, 5)], "part string, flag int, _rows long, val_sum long")
+    delta = spark.createDataFrame(
+        [("a", 1, -1, -2)], "part string, flag int, _rows long, val_sum long")
+    from pyspark.sql import functions as F
+    merged = IV.merge_aggregate_state(
+        state, delta, ["part", "flag"], {"val_sum": F.col("val_sum")})
+    assert plans.count_exchanges(merged) <= 1
+    assert "Join" not in plans.physical_plan(merged)
