@@ -1,0 +1,100 @@
+"""Dataset assembly (operators/sampling.py) vs pandas oracles.
+
+The load-bearing property is DETERMINISM AS A FUNCTION OF (id, seed):
+membership/assignment must not depend on partitioning, row order, or
+cluster size — asserted by recomputing under hostile repartitioning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from egp_crn_spark.operators import sampling as SP
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_hash_split_deterministic_and_weighted(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = SP.hash_split(docs, w).select("doc_id", "split").toPandas()
+    b = SP.hash_split(docs.repartition(17).orderBy(F.desc("doc_id")), w) \
+        .select("doc_id", "split").toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+    frac = a.split.value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.8) < 0.08
+    assert set(a.split) <= {"train", "val", "test"}
+    # a different seed produces a different assignment
+    c = SP.hash_split(docs, w, seed=99).select("doc_id", "split").toPandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (merged.split_a != merged.split_c).any()
+
+
+def test_hash_split_membership_stable_under_growth(spark, docs):
+    """Appending rows must never move existing rows between splits —
+    the property randomSplit does not have."""
+    w = {"train": 0.9, "val": 0.1}
+    half = docs.filter("doc_id < 250")
+    a = SP.hash_split(half, w).select("doc_id", "split").toPandas()
+    b = SP.hash_split(docs, w).select("doc_id", "split").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_half", "_full"))
+    assert (merged.split_half == merged.split_full).all()
+
+
+def test_stratified_sample_exact_counts(spark, docs):
+    got = SP.stratified_sample(docs, ["lang"], n_per_stratum=20).toPandas()
+    sizes = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    per = got.groupby("lang").size()
+    for lang, n in sizes.items():
+        assert per.get(lang, 0) == min(20, n), lang
+    # deterministic under repartition
+    again = SP.stratified_sample(
+        docs.repartition(13), ["lang"], n_per_stratum=20).toPandas()
+    assert set(got.doc_id) == set(again.doc_id)
+
+
+def test_pack_chunks_matches_pandas_prefix_sum(spark, docs):
+    from egp_crn_spark.operators.text import token_count
+
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("nt")) \
+        .filter("nt > 0")
+    got = SP.pack_chunks(toks, "nt", chunk_tokens=512).toPandas()
+
+    pdf = toks.toPandas()
+    # oracle: same global order (xxhash64 via Spark for parity), cumsum
+    order = spark.createDataFrame(pdf).select(
+        "doc_id", F.xxhash64(F.lit(7), F.col("doc_id")).alias("o")
+    ).toPandas().set_index("doc_id")["o"]
+    pdf = pdf.assign(o=pdf.doc_id.map(order)).sort_values(
+        ["o", "doc_id"]).reset_index(drop=True)
+    start = pdf.nt.cumsum().shift(fill_value=0)
+    want = pd.DataFrame({
+        "doc_id": pdf.doc_id,
+        "chunk_id": (start // 512).astype("int64"),
+        "chunk_offset": (start % 512).astype("int64"),
+    })
+    merged = got.merge(want, on="doc_id", suffixes=("", "_w"))
+    assert len(merged) == len(pdf)
+    assert (merged.chunk_id == merged.chunk_id_w).all()
+    assert (merged.chunk_offset == merged.chunk_offset_w).all()
+    # partitioning-hostile rerun: identical assignment
+    again = SP.pack_chunks(
+        toks.repartition(29).orderBy(F.desc("doc_id")), "nt",
+        chunk_tokens=512, num_partitions=5).toPandas()
+    m2 = got.merge(again, on="doc_id", suffixes=("", "_r"))
+    assert (m2.chunk_id == m2.chunk_id_r).all()
+    assert (m2.chunk_offset == m2.chunk_offset_r).all()
+
+
+def test_pack_chunks_rejects_nonpositive_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 7)], "doc_id int, nt int")
+    with pytest.raises(Exception, match="non-positive token count"):
+        SP.pack_chunks(df, "nt", chunk_tokens=16).collect()
