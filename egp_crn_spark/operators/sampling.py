@@ -13,12 +13,12 @@ membership).
 
 Scale shapes:
 - hash_split / stratified_sample: pure Column expressions / one shuffle.
-- pack_chunks: a distributed prefix sum — range-partition by the hash
-  order, partition-local cumsum (parallel window), and a driver-side
-  offset table of ONE row per partition (metadata-sized). Chunk ids
-  depend only on the global order and token counts, not on where the
-  sampled range boundaries fall, so the result is stable across
-  partitioning layouts.
+- pack_chunks: a distributed prefix sum — deterministic hash-prefix
+  buckets, bucket-local cumsum (parallel window), and a driver-side
+  base-offset table of ONE row per non-empty bucket (metadata-sized,
+  broadcast back). Chunk ids depend only on the global unsigned-hash
+  order and token counts — bucket membership is a pure row function, so
+  the result is identical across partitioning layouts and jobs.
 """
 
 from __future__ import annotations
@@ -69,58 +69,66 @@ def stratified_sample(df: DataFrame, strata: list[str], n_per_stratum: int,
 
 def pack_chunks(df: DataFrame, token_col: str, chunk_tokens: int,
                 id_col: str = "doc_id", seed: int = 7,
-                num_partitions: int | None = None) -> DataFrame:
+                bucket_bits: int = 10) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in
-    deterministic hash order and cut into fixed-size token chunks;
-    each doc is assigned (chunk_id, chunk_offset) of its START token —
-    the standard "concatenate the corpus, split every N tokens" packing
-    of LLM pretraining, as a distributed prefix sum:
+    deterministic hash order (UNSIGNED xxhash64 ascending) and cut into
+    fixed-size token chunks; each doc is assigned (chunk_id,
+    chunk_offset) of its START token — the standard "concatenate the
+    corpus, split every N tokens" packing of LLM pretraining, as a
+    distributed prefix sum:
 
-      1. range-partition by the hash order (clusters the order without
-         a global sort bottleneck);
-      2. partition-local running sum via a window (parallel — one
-         window per partition, not one global partition);
-      3. add per-partition offsets from a driver-side table of one row
-         per partition (metadata-sized collect).
+      1. bucket by the hash's top ``bucket_bits`` bits — a PURE FUNCTION
+         of (id, seed), so job 1 and job 2 agree on membership (a
+         repartitionByRange formulation failed exactly here: its
+         boundaries are re-SAMPLED per job, and a boundary shift between
+         the offsets job and the output job silently misaligns offsets —
+         caught by the 1M-doc coverage invariant in assembly_demo);
+      2. bucket-local running sum via a window (parallel — 2^bits
+         independent window partitions, uniform because the hash is);
+      3. bucket base offsets from a driver-side aggregate of one row per
+         non-empty bucket (metadata-sized), broadcast-joined back.
 
-    Chunk ids are a function of the global order + token counts only;
-    sampled range boundaries shifting between runs cannot change them.
     Rows with token_count <= 0 raise (a silent 0 would misalign every
     later offset)."""
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    if not (1 <= bucket_bits <= 20):
+        raise ValueError("bucket_bits must be in [1, 20]")
+    # unsigned-order machinery: _bkt = top bits (unsigned), and within a
+    # bucket every hash shares bit 63, so flipping it (XOR long-min)
+    # makes SIGNED ordering of _osgn equal the unsigned hash ordering
     ordered = (
         df.withColumn("_ord", F.xxhash64(F.lit(seed), F.col(id_col)))
-        .repartitionByRange(n, F.col("_ord"), F.col(id_col))
+        .withColumn("_bkt", F.shiftrightunsigned(F.col("_ord"),
+                                                 64 - bucket_bits))
+        .withColumn("_osgn", F.col("_ord").bitwiseXOR(F.lit(-(2 ** 63))))
     )
-    ordered = ordered.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy("_ord", id_col)
+    w = Window.partitionBy("_bkt").orderBy("_osgn", id_col)
     local = ordered.withColumn("_cum", F.sum(token_col).over(w))
 
-    psums = local.groupBy("_pid").agg(F.max("_cum").alias("_t")).collect()
-    if any(r["_t"] is None for r in psums):
+    sums = local.groupBy("_bkt").agg(F.max("_cum").alias("_t")).collect()
+    if any(r["_t"] is None for r in sums):
         raise ValueError(f"pack_chunks: null {token_col}")
-    offsets = {}
+    spark = df.sparkSession
     acc = 0
-    for r in sorted(psums, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
+    rows = []
+    for r in sorted(sums, key=lambda r: r["_bkt"]):
+        rows.append((r["_bkt"], acc))
         acc += r["_t"]
-    off = F.create_map(*[x for pid, o in offsets.items()
-                         for x in (F.lit(pid), F.lit(o))])
+    off = F.broadcast(spark.createDataFrame(rows, "_bkt long, _base long"))
     # the assert folds INTO the start expression (null when passing) so
     # column pruning can never elide it
     guard = F.assert_true(
         F.col(token_col) > 0,
         F.concat(F.lit("pack_chunks: non-positive token count for id "),
                  F.col(id_col).cast("string")))
-    start = (off[F.col("_pid")] + F.col("_cum") - F.col(token_col)
+    start = (F.col("_base") + F.col("_cum") - F.col(token_col)
              + F.coalesce(guard.cast("long"), F.lit(0)))
     return (
-        local.withColumn("_start", start)
+        local.join(off, "_bkt")
+        .withColumn("_start", start)
         .withColumn("chunk_id", (F.col("_start") / chunk_tokens).cast("long"))
         .withColumn("chunk_offset",
                     F.pmod(F.col("_start"), F.lit(chunk_tokens)))
-        .drop("_ord", "_pid", "_cum", "_start")
+        .drop("_ord", "_bkt", "_osgn", "_cum", "_base", "_start")
     )

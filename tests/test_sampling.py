@@ -68,12 +68,13 @@ def test_pack_chunks_matches_pandas_prefix_sum(spark, docs):
     got = SP.pack_chunks(toks, "nt", chunk_tokens=512).toPandas()
 
     pdf = toks.toPandas()
-    # oracle: same global order (xxhash64 via Spark for parity), cumsum
+    # oracle: same global order (UNSIGNED xxhash64 asc, Spark for
+    # parity), then a plain pandas cumsum
     order = spark.createDataFrame(pdf).select(
         "doc_id", F.xxhash64(F.lit(7), F.col("doc_id")).alias("o")
     ).toPandas().set_index("doc_id")["o"]
-    pdf = pdf.assign(o=pdf.doc_id.map(order)).sort_values(
-        ["o", "doc_id"]).reset_index(drop=True)
+    pdf = pdf.assign(o=pdf.doc_id.map(order).astype("int64").astype("uint64"))
+    pdf = pdf.sort_values(["o", "doc_id"]).reset_index(drop=True)
     start = pdf.nt.cumsum().shift(fill_value=0)
     want = pd.DataFrame({
         "doc_id": pdf.doc_id,
@@ -87,7 +88,7 @@ def test_pack_chunks_matches_pandas_prefix_sum(spark, docs):
     # partitioning-hostile rerun: identical assignment
     again = SP.pack_chunks(
         toks.repartition(29).orderBy(F.desc("doc_id")), "nt",
-        chunk_tokens=512, num_partitions=5).toPandas()
+        chunk_tokens=512, bucket_bits=3).toPandas()
     m2 = got.merge(again, on="doc_id", suffixes=("", "_r"))
     assert (m2.chunk_id == m2.chunk_id_r).all()
     assert (m2.chunk_offset == m2.chunk_offset_r).all()
