@@ -54,6 +54,60 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     return df.withColumn(split_col, last)
 
 
+def hash_sample(df: DataFrame, fraction: float,
+                id_col: str = "doc_id", seed: int = 7,
+                stratum_col: str | None = None,
+                fractions: dict | None = None) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose hash
+    bucket falls under fraction * 1e6 — a pure row function (stable
+    under repartition/growth, like hash_split), and ZERO shuffles,
+    unlike df.sample(). ``fractions`` overrides the rate per stratum
+    value (e.g. downsample dominant languages: {"en": 0.1}), with
+    ``fraction`` the default for unlisted strata — the weighted-mix
+    primitive of corpus curation."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)),
+                    F.lit(_BUCKETS))
+    if fractions:
+        if stratum_col is None:
+            raise ValueError("fractions needs stratum_col")
+        thresh = None
+        for val, fr in fractions.items():
+            if not 0.0 <= fr <= 1.0:
+                raise ValueError(f"fraction for {val!r} must be in [0, 1]")
+            cond = F.col(stratum_col) == val
+            lit = F.lit(int(fr * _BUCKETS))
+            thresh = F.when(cond, lit) if thresh is None \
+                else thresh.when(cond, lit)
+        thresh = thresh.otherwise(int(fraction * _BUCKETS))
+    else:
+        thresh = F.lit(int(fraction * _BUCKETS))
+    return df.filter(bucket < thresh)
+
+
+def mix_sources(sources: dict[str, tuple[DataFrame, float]],
+                id_col: str = "doc_id", seed: int = 7,
+                source_col: str = "source") -> DataFrame:
+    """Weighted corpus mixture: each source DataFrame is hash-sampled
+    at its rate and tagged — the deterministic version of "train on
+    30% of A + 100% of B". Rates are KEEP FRACTIONS per source (not
+    relative output proportions; compose with corpus sizes for that).
+    Each source's hash stream is decorrelated by salting the seed with
+    the source name, so the same id appearing in two sources draws
+    independent coins."""
+    out = None
+    for name, (df, rate) in sources.items():
+        salted = F.xxhash64(F.lit(f"{seed}|{name}"), F.col(id_col))
+        part = df.filter(
+            F.pmod(salted, F.lit(_BUCKETS)) < int(rate * _BUCKETS)
+        ).withColumn(source_col, F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mix_sources needs at least one source")
+    return out
+
+
 def stratified_sample(df: DataFrame, strata: list[str], n_per_stratum: int,
                       id_col: str = "doc_id", seed: int = 7) -> DataFrame:
     """EXACTLY min(n, stratum size) rows per stratum, chosen by hash

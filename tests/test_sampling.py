@@ -99,3 +99,40 @@ def test_pack_chunks_rejects_nonpositive_tokens(spark):
         [(1, 5), (2, 0), (3, 7)], "doc_id int, nt int")
     with pytest.raises(Exception, match="non-positive token count"):
         SP.pack_chunks(df, "nt", chunk_tokens=16).collect()
+
+
+def test_hash_sample_rate_and_determinism(spark, docs):
+    got = SP.hash_sample(docs, 0.3).select("doc_id").toPandas()
+    assert abs(len(got) / 500 - 0.3) < 0.1
+    again = SP.hash_sample(docs.repartition(11), 0.3).select("doc_id").toPandas()
+    assert set(got.doc_id) == set(again.doc_id)
+    # monotone: raising the rate only ADDS rows (nested samples — the
+    # property that lets a pipeline grow a sample without resampling)
+    bigger = SP.hash_sample(docs, 0.6).select("doc_id").toPandas()
+    assert set(got.doc_id) <= set(bigger.doc_id)
+
+
+def test_hash_sample_per_stratum_rates(spark, docs):
+    langs = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    dominant = langs.idxmax()
+    got = SP.hash_sample(docs, 1.0, stratum_col="lang",
+                         fractions={dominant: 0.1}).toPandas()
+    per = got.groupby("lang").size()
+    assert per.get(dominant, 0) < langs[dominant] * 0.35
+    for lang, n in langs.items():
+        if lang != dominant:
+            assert per.get(lang, 0) == n, lang
+
+
+def test_mix_sources_tags_and_rates(spark, docs):
+    a = docs.filter("doc_id < 300")
+    b = docs.filter("doc_id >= 300")
+    got = SP.mix_sources({"web": (a, 0.5), "books": (b, 1.0)}).toPandas()
+    per = got.groupby("source").size()
+    assert per["books"] == 200
+    assert abs(per.get("web", 0) / 300 - 0.5) < 0.15
+    # same ids in two sources draw independent coins (salted seeds)
+    both = SP.mix_sources({"x": (a, 0.5), "y": (a, 0.5)}).toPandas()
+    xs = set(both[both.source == "x"].doc_id)
+    ys = set(both[both.source == "y"].doc_id)
+    assert xs != ys  # decorrelated — overlapping but not identical
