@@ -250,3 +250,19 @@ def test_incremental_merge_single_exchange(spark):
         state, delta, ["part", "flag"], {"val_sum": F.col("val_sum")})
     assert plans.count_exchanges(merged) <= 1
     assert "Join" not in plans.physical_plan(merged)
+
+
+def test_pack_chunks_plan_shape(spark):
+    """Distributed prefix sum: ONE hash exchange (the bucket window) —
+    the offsets come back via a broadcast join, never a sort-merge."""
+    from pyspark.sql import functions as F
+
+    from egp_crn_spark.operators import sampling as SP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("nt")).filter("nt > 0")
+    packed = SP.pack_chunks(docs, "nt", chunk_tokens=1024)
+    p = plans.physical_plan(packed)
+    assert "SortMergeJoin" not in p
+    assert plans.has_broadcast_join(packed)
+    assert plans.count_exchanges(packed) <= 2  # window shuffle (+AQE reuse)
