@@ -576,7 +576,12 @@ def ivf_pq_probe(queries: DataFrame, index_pq: DataFrame,
     ref = ref.withColumn("_cn", _norm(F.col("cv")))
     qside = F.broadcast(queries.select(
         "q_id", "qv", _norm(F.col("qv")).alias("_qn")))
-    exact = (top.select("q_id", "n_id").join(ref, "n_id").join(qside, "q_id")
+    # finalists are nq x k x refine_mult by construction (tiny), but
+    # they arrive through a window over a mapInArrow stage whose stats
+    # Catalyst can't see — hint the broadcast so the corpus side streams
+    # map-side instead of shuffling for a sort-merge join
+    exact = (F.broadcast(top.select("q_id", "n_id"))
+             .join(ref, "n_id").join(qside, "q_id")
              .select("q_id", "n_id",
                      (_dot(F.col("qv"), F.col("cv"))
                       / _safe_den(F.col("_qn") * F.col("_cn"))).alias("sim")))
