@@ -582,10 +582,20 @@ def _banded_signs_matmul(sel: DataFrame, planes, bands: int,
                 allb[:, i] = np.ascontiguousarray(
                     chars[:, i * rows:(i + 1) * rows]).view(f"S{rows}").ravel()
             idx = pa.array(np.repeat(np.arange(n), bands))
+            # dim-prefixed bucket key: with dim=None each task derives
+            # the plane-matrix width from its own first batch, so a
+            # corpus whose widths are consistent within partitions but
+            # mixed ACROSS them would otherwise bucket-join signatures
+            # hashed with DIFFERENT plane matrices (silent garbage
+            # pairs). The prefix confines every join to one width class
+            # — and within a class the seeded matrix is identical in
+            # every task, so well-formed corpora are unaffected.
+            buckets = np.char.add(f"{P.shape[1]}:",
+                                  allb.ravel().astype("U"))
             yield pa.RecordBatch.from_arrays(
                 [b.column(0).take(idx), vcol.take(idx),
                  pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                 pa.array(allb.ravel().astype("U"))],
+                 pa.array(buckets)],
                 [id_field.name, v_field.name, "band", "bucket"],
             )
 

@@ -91,13 +91,28 @@ class _CommitLock:
             except FileExistsError:
                 pass
             try:
-                age = time.time() - os.path.getmtime(self.path)
+                st = os.stat(self.path)
             except OSError:
                 continue  # lock released between the create and the stat
-            if age > _LOCK_TTL_S:
+            if time.time() - st.st_mtime > _LOCK_TTL_S:
+                # Verify identity before breaking: the stale lock we
+                # measured may have been released and a FRESH writer's
+                # lock created at the same path between the stat and
+                # the rename. Rename first (atomic), then check the
+                # renamed file's inode against the one we aged — on a
+                # mismatch we displaced a live lock, so restore it via
+                # link (fails harmlessly if yet another writer already
+                # claimed the path).
                 broken = f"{self.path}.broken-{uuid.uuid4().hex}"
                 try:  # pragma: no cover - crashed-holder path
                     os.replace(self.path, broken)
+                    bst = os.stat(broken)
+                    if (bst.st_ino, bst.st_mtime) != (st.st_ino,
+                                                      st.st_mtime):
+                        try:
+                            os.link(broken, self.path)
+                        except OSError:
+                            pass
                     os.unlink(broken)
                 except OSError:
                     pass
@@ -161,7 +176,12 @@ def _partition_exclude(op: str, val, part_val: str) -> bool:
     here; numeric comparisons go through float coercion)."""
 
     def _coerce(v):
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if isinstance(v, bool):
+            # hive writes booleans lowercase ('true'); str(True) is
+            # 'True' — compare case-folded or pruning turns aggressive
+            # and silently drops every file of the matching partition.
+            return part_val.lower(), str(v).lower()
+        if isinstance(v, (int, float)):
             try:
                 return float(part_val), float(v)
             except ValueError:
@@ -620,11 +640,22 @@ class SnapshotLogTable:
         result is identical to a full read + filter — just touching
         strictly fewer files when the stats allow."""
         sid = self.resolve(snapshot_id)
-        entries = self.plan_files(snapshot_id, where)
+        # pass the RESOLVED id down so a concurrent commit between the
+        # two lookups can't mix the new snapshot's file list with the
+        # old snapshot's manifest/schema
+        entries = self.plan_files(sid, where)
         m = self._manifest(sid)
         df = self._read_files(entries, m.get("schema"))
         if df is None:
-            raise ValueError(f"snapshot {sid} lists no files")
+            # entries empty and the manifest predates schema recording.
+            # Distinguish "where pruned every file" (valid selective
+            # query → empty result with the table's schema, read from
+            # one committed file) from "nothing ever committed".
+            all_files = m.get("files") or []
+            if all_files:
+                df = self._read_files(all_files[:1], None).limit(0)
+            else:
+                raise ValueError(f"snapshot {sid} lists no files")
         if where:
             for col, op, val in where:
                 c = F.col(col)

@@ -398,3 +398,45 @@ def test_seam_routes_through_snaplog(spark, tdir):
     assert tables.table_exists(spark, tdir)
     tables.drop_table(spark, tdir)
     assert not tables.table_exists(spark, tdir)
+
+
+def test_boolean_partition_pruning_is_not_aggressive(spark, tdir):
+    """ADVICE r7: ('flag','=',True) on a boolean-partitioned table must
+    keep the matching partition's files — hive writes 'true' lowercase
+    while str(True) is 'True', and a naive string compare 'proves' every
+    file excluded, silently returning an empty result."""
+    t = SnapshotLogTable(spark, tdir, partition_col="flag")
+    df = spark.createDataFrame(
+        [(1, True, 1.0), (2, False, 2.0), (3, True, 3.0)],
+        "id int, flag boolean, val double")
+    t.overwrite(df)
+    kept = t.plan_files(where=[("flag", "=", True)])
+    assert len(kept) > 0
+    got = sorted(r.id for r in t.read(where=[("flag", "=", True)]).collect())
+    assert got == [1, 3]
+    got_f = sorted(r.id for r in t.read(where=[("flag", "=", False)]).collect())
+    assert got_f == [2]
+
+
+def test_all_files_pruned_returns_empty_not_error(spark, tdir):
+    """ADVICE r7: a selective where= that prunes EVERY file of a valid
+    snapshot returns an empty DataFrame with the table's schema, never
+    'snapshot N lists no files'. Covers both manifest vintages (with
+    and without a recorded schema)."""
+    t = SnapshotLogTable(spark, tdir)
+    t.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    out = t.read(where=[("id", "=", 1000)])
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "part", "val"}
+    # simulate a pre-schema manifest (older vintage): strip the key
+    meta = os.path.join(tdir, "metadata")
+    snap = [f for f in os.listdir(meta) if f.startswith("snap-")][0]
+    p = os.path.join(meta, snap)
+    with open(p) as f:
+        m = json.load(f)
+    m.pop("schema", None)
+    with open(p, "w") as f:
+        json.dump(m, f)
+    out2 = t.read(where=[("id", "=", 1000)])
+    assert out2.count() == 0
+    assert set(out2.columns) == {"id", "part", "val"}
