@@ -77,21 +77,54 @@ def index_delta(changelog: DataFrame, centroids: np.ndarray, as_of: int,
     return appends, tombstones
 
 
+_TOMB_BROADCAST_MAX = 4_000_000
+
+
 def live_index(index: DataFrame, tombstones: DataFrame,
-               broadcast_tombstones: bool = True) -> DataFrame:
+               broadcast_tombstones: bool | None = None,
+               tombstone_broadcast_max: int = _TOMB_BROADCAST_MAX
+               ) -> DataFrame:
     """Serving view of a maintained index: rows not killed by a
-    tombstone. One tombstone per id (max _ts) left-joins the index —
-    broadcast by default (the tombstone set is bounded by deletes since
-    the last compaction, metadata-sized next to the index); pass False
-    for a pathological backlog and let AQE pick the join."""
+    tombstone. One tombstone per id (max _ts) left-joins the index.
+
+    Broadcast guard (VERDICT r7 #4): the tombstone set is bounded by
+    deletes since the last compaction — normally metadata-sized, but
+    heavy churn with no compaction grows it without bound, and an
+    unconditional broadcast would silently exceed the driver/executor
+    broadcast limit. With the default ``broadcast_tombstones=None`` the
+    set is counted (one metadata-sized aggregate) and broadcast only
+    under ``tombstone_broadcast_max`` distinct ids (~4M ids ≈ 64 MB of
+    (long, long) rows); past it the join falls back to an explicit
+    SHUFFLE_HASH join — identical results (the hint pins the plan so
+    neither the planner nor AQE re-broadcasts a side we just measured
+    as oversized), and the size itself is the "compact me" signal
+    (surfaced next to cell_balance via tombstone_backlog). Pass
+    True/False to force either path."""
     t = tombstones.groupBy("n_id").agg(F.max(TOMB_TS).alias(TOMB_TS))
+    if broadcast_tombstones is None:
+        broadcast_tombstones = t.count() <= tombstone_broadcast_max
     if broadcast_tombstones:
         t = F.broadcast(t)
+    else:
+        t = t.hint("shuffle_hash")
     return (
         index.join(t, "n_id", "left")
         .filter(F.col(TOMB_TS).isNull() | (F.col(AS_OF) >= F.col(TOMB_TS)))
         .drop(TOMB_TS)
     )
+
+
+def tombstone_backlog(tombstones: DataFrame,
+                      broadcast_max: int = _TOMB_BROADCAST_MAX) -> dict:
+    """Compaction-pressure monitor, the tombstone twin of cell_balance:
+    {ids, rows, over_broadcast} — ``over_broadcast`` True means serving
+    has degraded from a broadcast to a shuffled anti-join; run
+    compact_index."""
+    row = tombstones.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(F.col("n_id")).alias("ids")).first()
+    return {"rows": row["rows"], "ids": row["ids"],
+            "over_broadcast": row["ids"] > broadcast_max}
 
 
 def maintain_ivf_index(corpus_table, centroids: np.ndarray,

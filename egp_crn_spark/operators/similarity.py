@@ -295,6 +295,35 @@ def ivf_assign(
     return _assign_matmul(sel, centroids)
 
 
+def cap_index_cells(index: DataFrame, max_cell: int,
+                    id_col: str = "n_id"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Hot-cell guard for ANN serving (VERDICT r7 #6): IVF cell sizes
+    are Zipf-ish on real corpora, and the probe join has per-cell cost
+    ~|cell| x queries probing it — one hot cell dominates every probe
+    that touches it. Returns ``(capped, audit)``: ``capped`` keeps at
+    most ``max_cell`` rows per cell (deterministic hash-order rank, the
+    _cap_hot_window family from dedup), ``audit`` lists every capped
+    cell with (cell, n_rows, n_dropped) — no silent drops: callers
+    surface the audit next to cell_balance, whose max_over_mean drift
+    is the retrain/rebalance signal that REMOVES the need for the cap.
+
+    Recall impact: dropped rows are unrankable for every query probing
+    that cell, so per-query recall loss is bounded by the dropped
+    fraction of its probed cells (uniform under the hash order). On a
+    cell-bucketed index table the rank window reuses the bucketing —
+    no exchange (plan-asserted in tests/test_bucketing.py)."""
+    w = Window.partitionBy("cell").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col))
+    ranked = index.withColumn("_rk", F.row_number().over(w))
+    capped = ranked.filter(F.col("_rk") <= max_cell).drop("_rk")
+    audit = (ranked.groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n_rows"))
+             .filter(F.col("n_rows") > max_cell)
+             .withColumn("n_dropped", F.col("n_rows") - max_cell))
+    return capped, audit
+
+
 def ivf_probe(
     queries: DataFrame,
     index: DataFrame,
@@ -303,6 +332,7 @@ def ivf_probe(
     nprobe: int = 4,
     method: str = "auto",
     broadcast_queries: bool = True,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """IVF QUERY: probe the nprobe nearest cells per query — a cell
     equi-join against the prebuilt index (same shape as the spatial
@@ -316,7 +346,13 @@ def ivf_probe(
     explicit hint because the matmul quantizer emits probes through
     mapInPandas, whose unknown size statistics otherwise push Catalyst to
     a sort-merge join that shuffles the whole index. Pass False only for
-    offline mega-batches where the query side rivals the corpus."""
+    offline mega-batches where the query side rivals the corpus.
+
+    ``max_cell`` (optional) bounds candidates per probed cell via
+    cap_index_cells — use its standalone form to also get the audit of
+    capped cells."""
+    if max_cell is not None:
+        index, _ = cap_index_cells(index, max_cell)
     if _use_expr(method, centroids):
         probes = queries.select(
             "q_id", F.col("qv"), _norm(F.col("qv")).alias("_qn"),
@@ -508,17 +544,21 @@ def ivf_pq_probe(queries: DataFrame, index_pq: DataFrame,
                  refine_corpus: DataFrame | None = None,
                  refine_mult: int = 16,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 broadcast_queries: bool = True) -> DataFrame:
+                 broadcast_queries: bool = True,
+                 max_cell: int | None = None) -> DataFrame:
     """Query the COMPRESSED index: probe cells exactly like ivf_probe,
     score candidates by asymmetric distance (per-query lookup tables
     over the codebooks — one small matmul per unique query per batch,
     then a byte-gather per candidate), keep top k*refine_mult, and
     re-rank EXACTLY against ``refine_corpus`` (equi-join by id touching
     finalists only). Without a refine corpus, returns ADC-ranked top-k
-    (sim is then approximate)."""
+    (sim is then approximate). ``max_cell`` bounds candidates per
+    probed cell (see cap_index_cells)."""
     import pyarrow as pa
     from pyspark.sql.types import (DoubleType, StructField, StructType)
 
+    if max_cell is not None:
+        index_pq, _ = cap_index_cells(index_pq, max_cell)
     probes = _probe_cells_matmul(
         queries.select("q_id", "qv"), centroids, nprobe)
     if broadcast_queries:
@@ -532,6 +572,7 @@ def ivf_pq_probe(queries: DataFrame, index_pq: DataFrame,
         sel.schema["q_id"], sel.schema["n_id"],
         StructField("sim", DoubleType(), False),
     ])
+    kk = k * refine_mult if refine_corpus is not None else k
 
     def gen(batches):
         C, B = bc_C.value, bc_B.value
@@ -557,16 +598,45 @@ def ivf_pq_probe(queries: DataFrame, index_pq: DataFrame,
             qc = Qu @ C.T                       # (u, ncells)
             adc = T[uidx[:, None], np.arange(m)[None, :], codes].sum(axis=1)
             sim = (qc[uidx, cell] + adc) / np.maximum(qn, 1e-300)
+            # partial top-kk PER QUERY inside the kernel (VERDICT r7
+            # #3): a row_number window over every (query x nprobe-cell)
+            # candidate row sorts the full candidate set per query — a
+            # hot IVF cell inflates one window partition at scale. The
+            # kernel already sees (q_id, sim), so cut each batch down
+            # to its per-query top kk here; the downstream window then
+            # ranks <= kk rows per (query, batch) — bounded exchange,
+            # identical result (any batch row outside its own batch
+            # top-kk cannot be in the global top-kk). Tie-safe: rows
+            # EQUAL to the kk-th sim are kept too, so the window's
+            # (sim desc, n_id asc) tie-break still sees every
+            # contender regardless of id dtype. kk+1 (not kk) because
+            # the q_id != n_id self-filter runs downstream: the one
+            # batch holding a query's own row must not let it crowd a
+            # real contender out of the cut.
+            cut = kk + 1
+            if len(sim) > cut:
+                order = np.lexsort((-sim, uidx))
+                su, ss = uidx[order], sim[order]
+                starts = np.flatnonzero(
+                    np.r_[True, su[1:] != su[:-1]])
+                ends = np.r_[starts[1:], len(su)]
+                grp = np.repeat(np.arange(len(starts)), ends - starts)
+                rank = np.arange(len(su)) - starts[grp]
+                thr = ss[np.minimum(starts + cut - 1, ends - 1)]
+                keep = np.sort(order[(rank < cut) | (ss >= thr[grp])])
+                idx = pa.array(keep)
+                qcol, ncol = b.column(0).take(idx), b.column(4).take(idx)
+                sim = sim[keep]
+            else:
+                qcol, ncol = b.column(0), b.column(4)
             yield pa.RecordBatch.from_arrays(
-                [b.column(0), b.column(4),
-                 pa.array(sim, type=pa.float64())],
+                [qcol, ncol, pa.array(sim, type=pa.float64())],
                 ["q_id", "n_id", "sim"])
 
     scored = sel.mapInArrow(gen, schema=schema) \
         .filter(F.col("q_id") != F.col("n_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("sim").desc(), F.col("n_id").asc())
-    kk = k * refine_mult if refine_corpus is not None else k
     top = (scored.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= kk))
     if refine_corpus is None:
