@@ -548,7 +548,9 @@ QUERIES.update(_BATCH1)
 from .driverq2 import QUERIES2  # noqa: E402  (import after _BATCH1 to avoid cycles)
 from .driverq3 import QUERIES3  # noqa: E402
 from .driverq4 import QUERIES4  # noqa: E402
+from .driverq5 import QUERIES5  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
 QUERIES.update(QUERIES4)
+QUERIES.update(QUERIES5)

@@ -30,25 +30,59 @@ from pyspark.sql.window import Window
 _BUCKETS = 1_000_000
 
 
+def _md5_key(id_col: str, seed: int, epoch: int = 0):
+    """32-hex-char deterministic key — the ANSI-SQL-reproducible twin of
+    the xxhash64 bucket (same contract as dedup's use_md5 oracle mode):
+    lexicographic order of the lowercase hex digest IS the numeric order
+    of the 128-bit hash, so thresholding/ordering compares strings on
+    both engines identically."""
+    prefix = f"{seed}|" if epoch == 0 else f"{seed}e{epoch}|"
+    return F.md5(F.concat(F.lit(prefix), F.col(id_col).cast("string")))
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Hex-string threshold t with P(md5 < t) = fraction: floor(fraction
+    * 2^128) as 32 hex chars (``fraction >= 1`` returns 'g', above every
+    hex digest)."""
+    v = int(fraction * (1 << 128))
+    if v >= (1 << 128):
+        return "g"
+    return format(max(v, 0), "032x")
+
+
+def _xx_key(id_col: str, seed: int, epoch: int = 0):
+    args = [F.lit(seed)] + ([F.lit(epoch)] if epoch else []) + [F.col(id_col)]
+    return F.xxhash64(*args)
+
+
 def hash_split(df: DataFrame, weights: dict[str, float],
                id_col: str = "doc_id", seed: int = 7,
-               split_col: str = "split") -> DataFrame:
+               split_col: str = "split", use_md5: bool = False) -> DataFrame:
     """Deterministic train/val/test split: each row's bucket =
     xxhash64(seed, id) mod 1e6, thresholded by cumulative weights.
     Membership is a pure function of (id, seed) — stable under
     repartition, append-only growth, and re-runs (new rows never move
-    old rows between splits, unlike randomSplit)."""
+    old rows between splits, unlike randomSplit).
+
+    use_md5=True swaps the bucket for the md5 hex key so a DuckDB
+    oracle reproduces the exact membership (CORRECTNESS hash_split_docs
+    query); xxhash64 stays the production default (JVM codegen, no
+    string materialization)."""
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("hash_split needs positive weights")
-    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)),
-                    F.lit(_BUCKETS))
+    if use_md5:
+        key = _md5_key(id_col, seed)
+        thr = lambda frac: F.lit(_hex_threshold(frac))  # noqa: E731
+    else:
+        key = F.pmod(_xx_key(id_col, seed), F.lit(_BUCKETS))
+        thr = lambda frac: F.lit(int(frac * _BUCKETS))  # noqa: E731
     expr = None
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name] / total
-        cond = bucket < int(acc * _BUCKETS)
+        cond = key < thr(acc)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, last)
@@ -57,18 +91,24 @@ def hash_split(df: DataFrame, weights: dict[str, float],
 def hash_sample(df: DataFrame, fraction: float,
                 id_col: str = "doc_id", seed: int = 7,
                 stratum_col: str | None = None,
-                fractions: dict | None = None) -> DataFrame:
+                fractions: dict | None = None,
+                use_md5: bool = False) -> DataFrame:
     """Deterministic Bernoulli-by-hash sample: keep rows whose hash
     bucket falls under fraction * 1e6 — a pure row function (stable
     under repartition/growth, like hash_split), and ZERO shuffles,
     unlike df.sample(). ``fractions`` overrides the rate per stratum
     value (e.g. downsample dominant languages: {"en": 0.1}), with
     ``fraction`` the default for unlisted strata — the weighted-mix
-    primitive of corpus curation."""
+    primitive of corpus curation. use_md5=True: the SQL-reproducible
+    oracle key (see hash_split)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)),
-                    F.lit(_BUCKETS))
+    if use_md5:
+        key = _md5_key(id_col, seed)
+        mk = lambda fr: F.lit(_hex_threshold(fr))  # noqa: E731
+    else:
+        key = F.pmod(_xx_key(id_col, seed), F.lit(_BUCKETS))
+        mk = lambda fr: F.lit(int(fr * _BUCKETS))  # noqa: E731
     if fractions:
         if stratum_col is None:
             raise ValueError("fractions needs stratum_col")
@@ -77,13 +117,12 @@ def hash_sample(df: DataFrame, fraction: float,
             if not 0.0 <= fr <= 1.0:
                 raise ValueError(f"fraction for {val!r} must be in [0, 1]")
             cond = F.col(stratum_col) == val
-            lit = F.lit(int(fr * _BUCKETS))
-            thresh = F.when(cond, lit) if thresh is None \
-                else thresh.when(cond, lit)
-        thresh = thresh.otherwise(int(fraction * _BUCKETS))
+            thresh = F.when(cond, mk(fr)) if thresh is None \
+                else thresh.when(cond, mk(fr))
+        thresh = thresh.otherwise(mk(fraction))
     else:
-        thresh = F.lit(int(fraction * _BUCKETS))
-    return df.filter(bucket < thresh)
+        thresh = mk(fraction)
+    return df.filter(key < thresh)
 
 
 def mix_sources(sources: dict[str, tuple[DataFrame, float]],
@@ -109,21 +148,24 @@ def mix_sources(sources: dict[str, tuple[DataFrame, float]],
 
 
 def stratified_sample(df: DataFrame, strata: list[str], n_per_stratum: int,
-                      id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+                      id_col: str = "doc_id", seed: int = 7,
+                      use_md5: bool = False) -> DataFrame:
     """EXACTLY min(n, stratum size) rows per stratum, chosen by hash
     order — deterministic and unbiased for ordered corpora (the first n
     ids of a time-ordered table are not a representative slice; a hash
     order is — same rationale as similarity.train_centroids). One
-    shuffle (the window partition)."""
-    w = Window.partitionBy(*strata).orderBy(
-        F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
+    shuffle (the window partition). use_md5=True: the SQL-reproducible
+    oracle order key (see hash_split)."""
+    key = _md5_key(id_col, seed) if use_md5 else _xx_key(id_col, seed)
+    w = Window.partitionBy(*strata).orderBy(key, F.col(id_col))
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= n_per_stratum).drop("_rk"))
 
 
 def pack_chunks(df: DataFrame, token_col: str, chunk_tokens: int,
                 id_col: str = "doc_id", seed: int = 7,
-                bucket_bits: int = 10) -> DataFrame:
+                bucket_bits: int = 10, epoch: int = 0,
+                use_md5: bool = False) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in
     deterministic hash order (UNSIGNED xxhash64 ascending) and cut into
     fixed-size token chunks; each doc is assigned (chunk_id,
@@ -143,20 +185,42 @@ def pack_chunks(df: DataFrame, token_col: str, chunk_tokens: int,
          non-empty bucket (metadata-sized), broadcast-joined back.
 
     Rows with token_count <= 0 raise (a silent 0 would misalign every
-    later offset)."""
+    later offset).
+
+    ``epoch`` salts the hash seed so multi-epoch training gets a
+    DISTINCT, individually stable layout per epoch (epoch 0 == the
+    historical seed-only layout). ``use_md5=True`` swaps the order key
+    for the md5 hex digest (bucket = leading bucket_bits/4 hex chars —
+    bucket_bits must then be a multiple of 4) so a DuckDB oracle can
+    replay the exact global layout with one cumulative-sum window
+    (CORRECTNESS pack_chunks_docs)."""
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
     if not (1 <= bucket_bits <= 20):
         raise ValueError("bucket_bits must be in [1, 20]")
-    # unsigned-order machinery: _bkt = top bits (unsigned), and within a
-    # bucket every hash shares bit 63, so flipping it (XOR long-min)
-    # makes SIGNED ordering of _osgn equal the unsigned hash ordering
-    ordered = (
-        df.withColumn("_ord", F.xxhash64(F.lit(seed), F.col(id_col)))
-        .withColumn("_bkt", F.shiftrightunsigned(F.col("_ord"),
-                                                 64 - bucket_bits))
-        .withColumn("_osgn", F.col("_ord").bitwiseXOR(F.lit(-(2 ** 63))))
-    )
+    if use_md5:
+        if bucket_bits % 4:
+            raise ValueError("md5 mode needs bucket_bits % 4 == 0")
+        # hex digest: lexicographic == numeric order; the bucket is the
+        # digest's own prefix, so bucket order == global hash order
+        ordered = (
+            df.withColumn("_ord", _md5_key(id_col, seed, epoch))
+            .withColumn("_bkt", F.substring("_ord", 1, bucket_bits // 4))
+            .withColumn("_osgn", F.col("_ord"))
+        )
+        bkt_type = "string"
+    else:
+        # unsigned-order machinery: _bkt = top bits (unsigned), and
+        # within a bucket every hash shares bit 63, so flipping it (XOR
+        # long-min) makes SIGNED ordering of _osgn equal the unsigned
+        # hash ordering
+        ordered = (
+            df.withColumn("_ord", _xx_key(id_col, seed, epoch))
+            .withColumn("_bkt", F.shiftrightunsigned(F.col("_ord"),
+                                                     64 - bucket_bits))
+            .withColumn("_osgn", F.col("_ord").bitwiseXOR(F.lit(-(2 ** 63))))
+        )
+        bkt_type = "long"
     w = Window.partitionBy("_bkt").orderBy("_osgn", id_col)
     local = ordered.withColumn("_cum", F.sum(token_col).over(w))
 
@@ -169,7 +233,8 @@ def pack_chunks(df: DataFrame, token_col: str, chunk_tokens: int,
     for r in sorted(sums, key=lambda r: r["_bkt"]):
         rows.append((r["_bkt"], acc))
         acc += r["_t"]
-    off = F.broadcast(spark.createDataFrame(rows, "_bkt long, _base long"))
+    off = F.broadcast(
+        spark.createDataFrame(rows, f"_bkt {bkt_type}, _base long"))
     # the assert folds INTO the start expression (null when passing) so
     # column pruning can never elide it
     guard = F.assert_true(
@@ -186,3 +251,34 @@ def pack_chunks(df: DataFrame, token_col: str, chunk_tokens: int,
                     F.pmod(F.col("_start"), F.lit(chunk_tokens)))
         .drop("_ord", "_bkt", "_osgn", "_cum", "_base", "_start")
     )
+
+
+def chunk_slices(packed: DataFrame, token_col: str,
+                 chunk_tokens: int) -> DataFrame:
+    """Expand pack_chunks output into per-(chunk, doc) slices — the
+    shape a tensor-assembly stage consumes: for every chunk a document
+    contributes tokens to, one row (chunk_id, doc_id, doc_from, pos, n)
+    meaning "tokens [doc_from, doc_from+n) of doc_id land at positions
+    [pos, pos+n) of chunk_id". Pure Column expressions (sequence +
+    posexplode — no shuffle, no Python): a doc starting at chunk_offset
+    with T tokens spans ceil((chunk_offset + T) / chunk_tokens) chunks;
+    grouping the result by chunk_id yields each chunk's exact
+    construction recipe, covering all chunk_tokens positions of every
+    full chunk with no gaps or overlaps (pinned in tests)."""
+    T = F.col(token_col).cast("long")
+    off0 = F.col("chunk_offset")
+    last = ((off0 + T - F.lit(1)) / chunk_tokens).cast("long")
+    seq = F.sequence(F.lit(0).cast("long"), last)
+    e = packed.select(
+        "*", F.posexplode(seq).alias("_i", "_c")).drop("_c")
+    first = F.col("_i") == 0
+    doc_from = F.when(first, F.lit(0).cast("long")).otherwise(
+        F.lit(chunk_tokens) - off0 + (F.col("_i") - 1) * chunk_tokens)
+    pos = F.when(first, off0.cast("long")).otherwise(F.lit(0).cast("long"))
+    return e.select(
+        (F.col("chunk_id") + F.col("_i")).alias("chunk_id"),
+        *[c for c in packed.columns
+          if c not in ("chunk_id", "chunk_offset")],
+        doc_from.alias("doc_from"),
+        pos.alias("pos"),
+        F.least(T - doc_from, F.lit(chunk_tokens) - pos).alias("n"))

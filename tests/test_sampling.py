@@ -136,3 +136,82 @@ def test_mix_sources_tags_and_rates(spark, docs):
     xs = set(both[both.source == "x"].doc_id)
     ys = set(both[both.source == "y"].doc_id)
     assert xs != ys  # decorrelated — overlapping but not identical
+
+
+def test_pack_chunks_epoch_layouts(spark, docs):
+    """VERDICT r7 #7: epoch salts the layout — each epoch individually
+    stable (coverage invariant holds per epoch), epochs mutually
+    distinct."""
+    toks = docs.select("doc_id", F.col("n_chars").alias("nt"))
+    total = toks.agg(F.sum("nt")).first()[0]
+    layouts = {}
+    for ep in (0, 1, 2):
+        got = SP.pack_chunks(toks, "nt", chunk_tokens=512, epoch=ep) \
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        again = SP.pack_chunks(toks.repartition(19), "nt",
+                               chunk_tokens=512, epoch=ep) \
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert got[["chunk_id", "chunk_offset"]].equals(
+            again[["chunk_id", "chunk_offset"]]), f"epoch {ep} not stable"
+        # coverage invariant: global starts are a permutation-free exact
+        # packing — max(start + nt) == sum(nt), no start collisions
+        start = got.chunk_id * 512 + got.chunk_offset
+        assert start.is_unique
+        assert int((start + got.nt.values).max()) == total
+        layouts[ep] = got.set_index("doc_id").chunk_id
+    assert not layouts[0].equals(layouts[1])
+    assert not layouts[1].equals(layouts[2])
+
+
+def test_chunk_slices_exact_coverage(spark, docs):
+    """chunk_slices: every doc's slices sum to its token count with
+    contiguous in-doc extents, and every FULL chunk is covered exactly
+    [0, chunk) with no gaps or overlaps."""
+    toks = docs.select("doc_id", F.col("n_chars").alias("nt"))
+    packed = SP.pack_chunks(toks, "nt", chunk_tokens=512)
+    sl = SP.chunk_slices(packed, "nt", 512).toPandas()
+    nt = toks.toPandas().set_index("doc_id").nt
+    per = sl.groupby("doc_id")
+    assert (per.n.sum() == nt.loc[per.n.sum().index]).all()
+    for _, g in sl.groupby("doc_id"):
+        g = g.sort_values("doc_from")
+        assert g.doc_from.iloc[0] == 0
+        assert (g.doc_from.values[1:]
+                == (g.doc_from + g.n).values[:-1]).all()
+    total = int(nt.sum())
+    for cid, g in sl.groupby("chunk_id"):
+        if cid < total // 512:  # full chunks
+            g = g.sort_values("pos")
+            assert g.pos.iloc[0] == 0 and g.n.sum() == 512
+            assert (g.pos.values[1:] == (g.pos + g.n).values[:-1]).all()
+    # slices positions stay inside the chunk
+    assert ((sl.pos + sl.n) <= 512).all() and (sl.n > 0).all()
+
+
+def test_md5_mode_matches_xx_contract(spark, docs):
+    """use_md5 keeps every determinism contract (the oracle mode must
+    be a drop-in): stable under repartition, nested samples, exact
+    per-stratum counts, packing coverage."""
+    w = {"train": 0.8, "val": 0.2}
+    a = SP.hash_split(docs, w, use_md5=True).select("doc_id", "split") \
+        .toPandas()
+    b = SP.hash_split(docs.repartition(23), w, use_md5=True) \
+        .select("doc_id", "split").toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+    s1 = set(SP.hash_sample(docs, 0.3, use_md5=True)
+             .select("doc_id").toPandas().doc_id)
+    s2 = set(SP.hash_sample(docs, 0.6, use_md5=True)
+             .select("doc_id").toPandas().doc_id)
+    assert s1 <= s2 and 0 < len(s1) < len(s2) < 500
+    st = SP.stratified_sample(docs, ["lang"], 10, use_md5=True).toPandas()
+    assert (st.groupby("lang").size() <= 10).all()
+    toks = docs.select("doc_id", F.col("n_chars").alias("nt"))
+    pk = SP.pack_chunks(toks, "nt", 512, bucket_bits=8, use_md5=True) \
+        .toPandas()
+    start = pk.chunk_id * 512 + pk.chunk_offset
+    assert start.is_unique
+    assert int((start + pk.nt.values).max()) == int(pk.nt.sum())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket_bits"):
+        SP.pack_chunks(toks, "nt", 512, bucket_bits=10, use_md5=True)
