@@ -192,7 +192,7 @@ def main() -> None:
     cpus = env_cpus()
     sf = sf_of(sf_dir)
     n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", 0)) or max(int(IMAGES_PER_SF * sf), 1000)
-    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     img_path, bnd_path = ensure_images(n_images)
 
     from egp_crn_spark.driverq import QUERIES
@@ -208,13 +208,31 @@ def main() -> None:
     # different passes and the per-query min shakes it off.
     queries: list[tuple[str, object]] = []
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     rows: dict[str, int] = {}
+    steal_per_pass: list[float] = []
 
     def run(name, make_df):
         queries.append((name, make_df))
 
+    def _cpu_stat():
+        """(total_jiffies, steal_jiffies) from /proc/stat — shared-VM
+        host-steal instrumentation (VERDICT r7 #2): a capture landing in
+        a steal window is self-evident in the artifact instead of
+        needing a counter-run to adjudicate."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return sum(vals), steal
+        except Exception:
+            return None
+
     def execute_all():
+        trial_times: dict[str, list[float]] = {n: [] for n, _ in queries}
         for p in range(trials):
+            s0 = _cpu_stat()
             for name, make_df in queries:
                 # make_df is a THUNK: a fresh DataFrame per trial, because
                 # Spark silently reuses shuffle map-stage output across
@@ -224,9 +242,15 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n = df.count()
                 el = time.perf_counter() - t0
-                if p == 0 or el < timings[name]:
-                    timings[name] = round(el, 3)
+                trial_times[name].append(el)
                 rows[name] = n
+            s1 = _cpu_stat()
+            if s0 and s1 and s1[0] > s0[0]:
+                steal_per_pass.append(
+                    round(100.0 * (s1[1] - s0[1]) / (s1[0] - s0[0]), 2))
+        for name, ts in trial_times.items():
+            timings[name] = round(min(ts), 3)
+            spreads[name] = round(max(ts) - min(ts), 3)
 
     # warm the JVM/codegen AND the Python-worker daemon pool: the first
     # Arrow-UDF stage otherwise pays ~0.5 s/core of simultaneous
@@ -290,10 +314,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     spatial_rows = n_images  # rows pushed through tile assignment + PIP
     print(json.dumps({
-        "metric": "spatial-join + tile-assignment bench (sum of query wall times)",
+        "metric": "spatial-join + tile-assignment bench (sum of per-query "
+                  f"min-of-{trials} interleaved wall times)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "steal_pct_per_pass": steal_per_pass,
+        "trials": trials,
         "sf": sf,
         "cpus": cpus,
         "n_images": n_images,

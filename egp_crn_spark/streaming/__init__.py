@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import cells as C
@@ -277,6 +277,116 @@ def streaming_phash_near_dup(images: DataFrame, phash_col: str = "phash",
     of operators/images.phash_near_dup."""
     return streaming_hamming_near_dup(images, phash_col, id_col,
                                       max_hamming, max_bucket)
+
+
+def minhash_sig_columns(text: Column, num_hashes: int, k: int = 3) -> list:
+    """Per-row (map-side) minhash signature columns — the streaming form
+    of ``dedup.minhash_signatures``. The batch path explodes shingles and
+    min-aggregates (one shuffle) because Catalyst re-evaluates the
+    tokenizer once per ``transform`` call; here each doc's signature must
+    be computable WITHOUT aggregation (stateful streaming allows one
+    stateful operator per query, and it must be the pairing). num_hashes
+    array_min(transform(...)) passes over the shingle array cost
+    O(num_hashes x tokens) per row — acceptable at micro-batch sizes and
+    embarrassingly parallel. Values are IDENTICAL to the batch
+    signatures (same xxhash64(seed-lit, shingle) composition; min over
+    distinct == min over all), so band buckets — and therefore candidate
+    recall — match the batch LSH exactly."""
+    from ..operators.text import shingles
+
+    sh = F.array_distinct(shingles(text, k))
+    return [F.array_min(F.transform(sh, lambda s, h=h: F.xxhash64(F.lit(h), s)))
+            .alias(f"_m{h}") for h in range(num_hashes)]
+
+
+def streaming_minhash_candidates(docs: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id", num_hashes: int = 8,
+                                 bands: int = 4, k: int = 3,
+                                 max_bucket: int = 1000) -> DataFrame:
+    """Custom stateful operator: banded-MinHash near-dup CANDIDATE pairs
+    ACROSS micro-batches — the text twin of the hamming front
+    (``streaming_hamming_near_dup``), closing the continuous-curation
+    gap: documents ingested continuously are banded against everything
+    already ingested (reference analog: the deltas stage's incremental
+    posture, fetch_deltas.py:166-233).
+
+    Signatures are computed map-side (``minhash_sig_columns``) with the
+    SAME hash composition as batch ``dedup_minhash_lsh``, and band
+    buckets use the same md5(concat_ws) key — so the candidate set
+    equals the batch ``_band_pairs`` candidate set over the union of all
+    micro-batches (modulo the cap, below). State per (band, bucket)
+    group is just the id list (the bucket key equality IS the candidate
+    condition — no signatures needed in state, unlike the hamming front
+    which must compute distances), so state is the minimum possible:
+    ``bands`` x N 8-byte entries, hash-sharded by the state store.
+
+    The per-group ``max_bucket`` cap is the streaming form of the batch
+    ``_cap_hot_window`` skew guard: a group that exceeds it SATURATES —
+    stops emitting pairs and stops growing state.
+
+    Emits (a_id, b_id, band) with a_id < b_id; a pair agreeing in k
+    bands is emitted k times — downstream dedups on (a_id, b_id) and
+    VERIFIES with the same ``dedup.exact_jaccard`` + threshold filter
+    the batch path uses (candidates are a recall superset; verification
+    needs the shingle sets, which live in the corpus, not in stream
+    state). Tested stream == batch vs dedup_minhash_lsh over 3
+    micro-batches under both state stores.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = docs.select(F.col(id_col).cast("long").alias("item_id"),
+                      *minhash_sig_columns(F.col(text_col), num_hashes, k))
+    # docs with no shingles have NULL minhashes — they cannot be
+    # near-dups (and concat_ws would silently bucket them together)
+    sig = sig.filter(F.col("_m0").isNotNull())
+    banded = sig.select(
+        "item_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(f"_m{b * rows + r}")
+                                         for r in range(rows)])).alias("bucket"),
+            ) for b in range(bands)
+        ])).alias("bb"),
+    ).select("item_id", "bb.band", "bb.bucket")
+
+    def pair_fn(key, pdfs, state):
+        if state.exists:
+            ids, sat = state.get
+            ids, sat = list(ids), bool(sat)
+        else:
+            ids, sat = [], False
+        out_a, out_b = [], []
+        band = int(key[0])
+        for pdf in pdfs:
+            order = pdf.sort_values("item_id")  # deterministic within batch
+            for nid in order["item_id"]:
+                nid = int(nid)
+                if sat:
+                    continue
+                for oid in ids:
+                    if oid == nid:
+                        continue
+                    a, b = (oid, nid) if oid < nid else (nid, oid)
+                    out_a.append(a)
+                    out_b.append(b)
+                ids.append(nid)
+                if len(ids) > max_bucket:
+                    sat = True  # skew guard: stop pairing AND growing
+        state.update((ids, sat))
+        yield pd.DataFrame({"a_id": out_a, "b_id": out_b,
+                            "band": pd.array([band] * len(out_a), dtype="int32")})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        pair_fn,
+        outputStructType="a_id long, b_id long, band int",
+        stateStructType="ids array<long>, sat boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_simhash_near_dup(docs: DataFrame, text_col: str = "text",

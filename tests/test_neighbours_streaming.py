@@ -264,6 +264,99 @@ def test_streaming_simhash_near_dup_cross_batch(spark, tmp_path):
     assert (1, 2, 0) in got_set
 
 
+MINHASH_TEXTS = {
+    # family A: near-identical long sentences (high Jaccard), arriving
+    # across three different micro-batches
+    1: "the quick brown fox jumps over the lazy dog near the river bank",
+    2: "the quick brown fox jumps over the lazy dog near the river bank",
+    3: "the quick brown fox jumps over the lazy dog near the river edge",
+    # family B: another pair split across batches
+    10: "spark shuffles partition data across executors during wide transformations",
+    11: "spark shuffles partition data across executors during wide transformation",
+    # singletons: near nothing
+    20: "completely unrelated text about product quantization codebooks",
+    21: "short",
+}
+MINHASH_BATCHES = [[1, 10, 20], [2, 11, 21], [3]]
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_streaming_minhash_stream_equals_batch(spark, tmp_path, provider):
+    """Streaming banded-MinHash candidates over THREE micro-batches +
+    the batch exact_jaccard verify == batch dedup_minhash_lsh over the
+    full corpus (VERDICT r7 #5). Pairs span batches (family members
+    arrive after the first is in state); both state stores."""
+    import pandas as pd
+
+    from egp_crn_spark.operators.dedup import dedup_minhash_lsh, exact_jaccard
+    from egp_crn_spark.streaming import (ROCKSDB_PROVIDER, state_store,
+                                         streaming_minhash_candidates)
+
+    src_dir = tmp_path / "mh_stream"
+    src_dir.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src_dir))
+    providers = {"hdfs": spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"), "rocksdb": ROCKSDB_PROVIDER}
+    with state_store(spark, providers[provider]):
+        q = (streaming_minhash_candidates(stream, num_hashes=8, bands=4)
+             .writeStream.outputMode("append").format("memory")
+             .queryName(f"mh_out_{provider}")
+             .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+        for i, ids in enumerate(MINHASH_BATCHES):
+            pd.DataFrame({"doc_id": ids,
+                          "text": [MINHASH_TEXTS[k] for k in ids]}
+                         ).to_parquet(src_dir / f"b{i}.parquet")
+            q.processAllAvailable()
+        q.stop()
+    cand = (spark.sql(f"select distinct a_id, b_id from mh_out_{provider}"))
+    full = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(MINHASH_TEXTS), "text": list(MINHASH_TEXTS.values())}))
+    # the downstream verify the operator's contract prescribes: shingle
+    # sets live in the corpus, not in stream state
+    got = exact_jaccard(full, cand, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5).toPandas()
+    want = dedup_minhash_lsh(full, num_hashes=8, bands=4, threshold=0.5).toPandas()
+    got_set = {(int(a), int(b), round(j, 9)) for a, b, j in
+               got[["a_id", "b_id", "jaccard"]].values.tolist()}
+    want_set = {(int(a), int(b), round(j, 9)) for a, b, j in
+                want[["a_id", "b_id", "jaccard"]].values.tolist()}
+    assert got_set == want_set
+    # cross-batch recall actually exercised: the exact dup pair (1,2) and
+    # both near pairs span different micro-batches
+    got_pairs = {(a, b) for a, b, _ in got_set}
+    assert {(1, 2), (10, 11)} <= got_pairs
+
+
+def test_streaming_minhash_bucket_saturation(spark, tmp_path):
+    """max_bucket cap: a degenerate bucket of identical texts saturates —
+    pairing stops, state stops growing, query keeps running."""
+    import pandas as pd
+
+    from egp_crn_spark.streaming import streaming_minhash_candidates
+
+    n = 30
+    src_dir = tmp_path / "mh_sat"
+    src_dir.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src_dir))
+    q = (streaming_minhash_candidates(stream, num_hashes=8, bands=4, max_bucket=5)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("mh_sat_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    text = "identical document text repeated many times for the saturation test"
+    pd.DataFrame({"doc_id": range(n), "text": [text] * n}
+                 ).to_parquet(src_dir / "b0.parquet")
+    q.processAllAvailable()
+    pd.DataFrame({"doc_id": [100], "text": [text]}).to_parquet(src_dir / "b1.parquet")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select distinct a_id, b_id from mh_sat_out").toPandas()
+    # all 4 band groups coincide for identical texts: <= 6*5/2 distinct
+    # pairs before every group trips the cap; far below n*(n+1)/2
+    assert 0 < len(got) <= 6 * 5 / 2
+
+
 def test_streaming_near_dup_bucket_saturation(spark, tmp_path):
     """The per-group cap: a degenerate bucket (many identical
     signatures) saturates after max_bucket items — pairing stops, state
