@@ -114,8 +114,8 @@ def q_pack_chunks(spark, sf_dir):
 
 
 SQL_PACK_CHUNKS = f"""
-  select doc_id, s // {_PC_CHUNK} as chunk_id,
-         s % {_PC_CHUNK} as chunk_offset
+  select doc_id, cast(s // {_PC_CHUNK} as bigint) as chunk_id,
+         cast(s % {_PC_CHUNK} as bigint) as chunk_offset
   from (
     select doc_id,
            sum(n_chars) over (order by {_md5_key_sql()}, doc_id
@@ -141,8 +141,8 @@ def q_chunk_slices(spark, sf_dir):
 
 SQL_CHUNK_SLICES = f"""
   with packed as (
-    select doc_id, n_chars, s // {_PC_CHUNK} as chunk_id,
-           s % {_PC_CHUNK} as chunk_offset
+    select doc_id, n_chars, cast(s // {_PC_CHUNK} as bigint) as chunk_id,
+           cast(s % {_PC_CHUNK} as bigint) as chunk_offset
     from (
       select doc_id, n_chars,
              sum(n_chars) over (order by {_md5_key_sql()}, doc_id
@@ -152,16 +152,16 @@ SQL_CHUNK_SLICES = f"""
   e as (select *, unnest(range(0, cast((chunk_offset + n_chars - 1)
                                // {_PC_CHUNK} + 1 as bigint))) as i
         from packed)
-  select chunk_id + i as chunk_id, doc_id,
-         case when i = 0 then 0
+  select cast(chunk_id + i as bigint) as chunk_id, doc_id,
+         cast(case when i = 0 then 0
               else {_PC_CHUNK} - chunk_offset + (i - 1) * {_PC_CHUNK}
-         end as doc_from,
-         case when i = 0 then chunk_offset else 0 end as pos,
-         least(n_chars - (case when i = 0 then 0
+         end as bigint) as doc_from,
+         cast(case when i = 0 then chunk_offset else 0 end as bigint) as pos,
+         cast(least(n_chars - (case when i = 0 then 0
                                else {_PC_CHUNK} - chunk_offset
                                     + (i - 1) * {_PC_CHUNK} end),
                {_PC_CHUNK} - (case when i = 0 then chunk_offset
-                              else 0 end)) as n
+                              else 0 end)) as bigint) as n
   from e
 """
 
@@ -190,7 +190,8 @@ def q_view_maintain(spark, sf_dir):
 
 
 SQL_VIEW_MAINTAIN = """
-  select o_orderpriority, count(*) as n_rows, sum(o_custkey) as sum_cust
+  select o_orderpriority, count(*) as n_rows,
+         cast(sum(o_custkey) as bigint) as sum_cust
   from orders
   where o_orderkey % 7 = 0
      or (o_orderkey % 7 != 0 and o_orderkey % 5 != 0)
