@@ -360,6 +360,58 @@ SQL_IVF_PQ_TOPK = f"""
 """
 
 
+# --------------------------------------------------- z-order data skipping
+_ZB = (12288.0, 28672.0, 20480.0, 36864.0)  # (x0, x1, y0, y1): 1/16 area
+
+
+def q_zorder_pruned_read(spark, sf_dir):
+    """Z-order clustered snaplog write + manifest-pruned bbox read
+    (operators/cluster.py): events-derived points are written in Morton
+    layout, the bbox read plans files from per-file min/max stats alone,
+    and the asserts prove the layout made the stats selective — the
+    returned rows must still be EXACTLY the full filter, which the
+    oracle computes straight from events."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .operators.cluster import skipping_report, zorder_cluster
+    from .sources.snaplog import SnapshotLogTable
+
+    from .functions.georef import key_x, key_y
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        key_x(F.col("event_id")).alias("x"),
+        key_y(F.col("event_id")).alias("y"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/egp_zorder_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotLogTable(spark, path)
+    t.overwrite(zorder_cluster(ev, "x", "y", num_files=16))
+    x0, x1, y0, y1 = _ZB
+    where = [("x", ">=", x0), ("x", "<=", x1),
+             ("y", ">=", y0), ("y", "<=", y1)]
+    rep = skipping_report(t, where)
+    assert rep["files_total"] == 16
+    assert rep["files_read"] < rep["files_total"]  # the skipping proof
+    return t.read(where=where).select("event_id", "x", "y")
+
+
+from .functions.georef import key_x_sql, key_y_sql  # noqa: E402
+
+SQL_ZORDER_PRUNED_READ = f"""
+  select event_id, x, y from (
+    select event_id,
+           {key_x_sql('event_id')} as x,
+           {key_y_sql('event_id')} as y
+    from events)
+  where x >= {_ZB[0]} and x <= {_ZB[1]}
+    and y >= {_ZB[2]} and y <= {_ZB[3]}
+"""
+
+
 QUERIES5 = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
@@ -369,4 +421,5 @@ QUERIES5 = {
     "view_maintain": (q_view_maintain, SQL_VIEW_MAINTAIN),
     "index_maintain_live": (q_index_maintain_live, SQL_INDEX_MAINTAIN_LIVE),
     "ivf_pq_topk": (q_ivf_pq_topk, SQL_IVF_PQ_TOPK),
+    "zorder_pruned_read": (q_zorder_pruned_read, SQL_ZORDER_PRUNED_READ),
 }

@@ -228,10 +228,16 @@ class SnapshotLogTable:
     optimistic concurrency reduced to exclusive-create manifests)."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_col: str | None = None):
+                 partition_col: str | None = None,
+                 sort_cols: list[str] | None = None):
         self.spark = spark
         self.path = path
         self.partition_col = partition_col
+        # Iceberg's table write sort order (`write.sort-order`): every
+        # append/overwrite range-clusters rows on these columns before
+        # writing, so per-file min/max stats stay tight and plan_files
+        # pruning works on them (operators/cluster.py rationale).
+        self.sort_cols = list(sort_cols) if sort_cols else None
         existing = self._read_table_meta()
         if existing is not None:
             stored = existing.get("partition_col")
@@ -240,6 +246,13 @@ class SnapshotLogTable:
                     f"table at {path} is partitioned by {stored!r}, "
                     f"not {partition_col!r}")
             self.partition_col = stored
+            stored_sort = existing.get("sort_cols")
+            # unlike the partition spec (immutable), the sort order is a
+            # write-time property Iceberg allows replacing: an explicit
+            # sort_cols adopts (persisted at next commit, under the
+            # lock); omitting it inherits the stored order.
+            if sort_cols is None:
+                self.sort_cols = stored_sort
 
     # ------------------------------------------------------------ metadata
     def _read_table_meta(self) -> dict | None:
@@ -311,15 +324,24 @@ class SnapshotLogTable:
         orphans (Iceberg's model — cleaned by maintenance, never read)."""
         attempt = uuid.uuid4().hex[:8]
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
-        if self.partition_col is not None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        if self.sort_cols:
+            # Iceberg's write.distribution-mode=range + table sort order:
+            # range-cluster on (partition, sort cols) and sort within
+            # tasks, so each data file covers one tight [min, max] run of
+            # the sort columns and plan_files can prune on their stats.
+            keys = ([self.partition_col] if self.partition_col else []) \
+                + self.sort_cols
+            df = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+        elif self.partition_col is not None:
             # Iceberg's write.distribution-mode=hash: cluster rows by the
             # partition value before the partitioned write, else every
             # input task opens a file in every partition dir (tasks ×
             # partitions small files — the classic 100-TB write killer)
-            n = df.sparkSession.sparkContext.defaultParallelism
             df = df.repartition(n, self.partition_col)
-            writer = df.write.mode("overwrite").partitionBy(self.partition_col)
+        writer = df.write.mode("overwrite")
+        if self.partition_col is not None:
+            writer = writer.partitionBy(self.partition_col)
         writer.parquet(staging)
         entries: list[dict] = []
         data = _data_dir(self.path)
@@ -415,10 +437,14 @@ class SnapshotLogTable:
                 manifest["summary"] = summary
             if schema_json is not None:
                 manifest["schema"] = schema_json
-            if self._read_table_meta() is None:
+            meta = self._read_table_meta()
+            if meta is None or meta.get("sort_cols") != self.sort_cols:
+                if meta is None:
+                    meta = {"partition_col": self.partition_col}
+                meta["sort_cols"] = self.sort_cols
                 with open(os.path.join(
                         _meta_dir(self.path), "table.json"), "w") as f:
-                    json.dump({"partition_col": self.partition_col}, f)
+                    json.dump(meta, f)
             try:
                 fd = os.open(
                     os.path.join(_meta_dir(self.path),
