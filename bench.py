@@ -36,6 +36,7 @@ BOUNDARY_RES = 4  # 256 convex tiles
 # per VERDICT r5 #2; brute-force embedding_topk stays as the fenced
 # exactness baseline over the driver tables.
 ANN_VECS_PER_SF = 2_000_000  # sf0.1 → 200k vectors
+PYR_IMAGES_PER_SF = 2_000_000  # sf0.1 → 200k bytes-bearing pyramid images
 ANN_DIM = 64
 ANN_NCELLS = 1024  # measured: 2.6s @64c, 1.3s @256c, 1.1s @1024c, recall@10=1.0 throughout
 ANN_NPROBE = 8
@@ -105,6 +106,40 @@ def q_pip_images(spark, img_path, bnd_path):
     )
     joined = point_in_polygon_join(pts, polys, res=6, broadcast_polys=True)
     return joined.groupBy("poly_id").agg(F.count("*").alias("n"))
+
+
+def ensure_pyramid_images(spark, n: int) -> str:
+    """Bytes-bearing georeferenced image table for the tile-pyramid row
+    (the main bench images table is metadata-only): n uniform points,
+    one 16×16 stand-in PNG each, built distributed ONCE and cached in
+    .data — the bench times the pyramid build, not fixture synthesis."""
+    cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+    path = os.path.join(cache_root, f"bench_pyr_images_{n}")
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from egp_crn_spark.functions.imagecodec import encode_image
+        for pdf in it:
+            px = [encode_image(
+                np.full((16, 16, 3), int(i) % 251, np.uint8), "png")
+                for i in pdf["image_id"]]
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "phash": pdf["phash"], "bytes": px})
+
+    mod = F.lit(1 << 32)
+    (spark.range(n).select(
+        F.col("id").alias("image_id"),
+        F.shiftleft(F.pmod(F.xxhash64("id", F.lit(1)), mod), 32)
+        .bitwiseOR(F.pmod(F.xxhash64("id", F.lit(2)), mod))
+        .cast("long").alias("phash"))
+     .repartition(64)
+     .mapInPandas(gen, "image_id long, phash long, bytes binary")
+     .write.mode("overwrite").parquet(path))
+    return path
 
 
 def ensure_ann_index(spark, n_vecs: int, cpus: int):
@@ -291,6 +326,17 @@ def main() -> None:
 
     run("phash_near_dup", lambda: phash_near_dup(
         spark.read.parquet(img_path), max_hamming=2, max_bucket=200))
+
+    # raster tile pyramid: rep-select + decode at res 7, three rollup
+    # levels down to res 4 (operators/pyramid.py; each thunk call builds
+    # fresh DataFrames, so every pass pays the full compute)
+    from egp_crn_spark.operators.pyramid import build_pyramid
+
+    n_pyr = int(os.environ.get("SPARK_GRAFT_PYR_IMAGES", 0)) or max(
+        int(PYR_IMAGES_PER_SF * sf), 20_000)
+    pyr_path = ensure_pyramid_images(spark, n_pyr)
+    run("tile_pyramid", lambda: build_pyramid(
+        spark.read.parquet(pyr_path), res=7, min_res=4, tile_px=8))
 
     # ANN serving: probe a prebuilt bucketed IVF index (build amortized,
     # not timed — see ensure_ann_index); queries broadcast so the index

@@ -360,6 +360,62 @@ SQL_IVF_PQ_TOPK = f"""
 """
 
 
+# ------------------------------------------------------------ tile pyramid
+_PYR_RES, _PYR_MIN_RES, _PYR_PX = 6, 3, 4
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Raster tile pyramid rollup (operators/pyramid.py): events become
+    georeferenced 4×4 images (phash packed so phash_x/phash_y equal the
+    key_x/key_y oracle coordinates), the full pyramid is built res 6→3,
+    and the oracle independently recomputes every level's (cell, n_src)
+    from pure cell arithmetic — verifying the rollup tree (parent ids +
+    subtree count propagation) level by level. Pixel exactness is
+    covered by tests/test_pyramid.py's numpy-reference battery (pixels
+    aren't SQL-expressible)."""
+    import pandas as pd
+
+    from .functions.georef import _AXIS_MOD, _KX, _KY
+    from .operators.pyramid import build_pyramid
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("image_id"),
+        (F.shiftleft(F.pmod(F.col("event_id") * _KX, F.lit(_AXIS_MOD)), 32)
+         .bitwiseOR(F.pmod(F.col("event_id") * _KY, F.lit(_AXIS_MOD))))
+        .cast("long").alias("phash"),
+    )
+
+    def gen(it):
+        import numpy as np
+
+        from .functions.imagecodec import encode_image
+        for pdf in it:
+            px = [encode_image(
+                np.full((_PYR_PX, _PYR_PX, 3), int(i) % 251, np.uint8),
+                "png") for i in pdf["image_id"]]
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "phash": pdf["phash"], "bytes": px})
+
+    images = ev.mapInPandas(gen, "image_id long, phash long, bytes binary")
+    pyr = build_pyramid(images, _PYR_RES, _PYR_MIN_RES, tile_px=_PYR_PX)
+    return pyr.select("res", "cell", "n_src")
+
+
+from .functions.cells import cell_of_xy_sql  # noqa: E402
+from .functions.georef import key_x_sql, key_y_sql  # noqa: E402
+
+SQL_TILE_PYRAMID = "\nunion all\n".join(
+    f"""
+  select cast({r} as int) as res,
+         cast({cell_of_xy_sql('x', 'y', r)} as bigint) as cell,
+         count(*) as n_src
+  from (select {key_x_sql('event_id')} as x,
+               {key_y_sql('event_id')} as y from events)
+  group by 2"""
+    for r in range(_PYR_MIN_RES, _PYR_RES + 1)
+)
+
+
 # --------------------------------------------------- z-order data skipping
 _ZB = (12288.0, 28672.0, 20480.0, 36864.0)  # (x0, x1, y0, y1): 1/16 area
 
@@ -399,8 +455,6 @@ def q_zorder_pruned_read(spark, sf_dir):
     return t.read(where=where).select("event_id", "x", "y")
 
 
-from .functions.georef import key_x_sql, key_y_sql  # noqa: E402
-
 SQL_ZORDER_PRUNED_READ = f"""
   select event_id, x, y from (
     select event_id,
@@ -422,4 +476,5 @@ QUERIES5 = {
     "index_maintain_live": (q_index_maintain_live, SQL_INDEX_MAINTAIN_LIVE),
     "ivf_pq_topk": (q_ivf_pq_topk, SQL_IVF_PQ_TOPK),
     "zorder_pruned_read": (q_zorder_pruned_read, SQL_ZORDER_PRUNED_READ),
+    "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
 }

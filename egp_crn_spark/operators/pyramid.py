@@ -1,0 +1,124 @@
+"""Raster tile pyramid — multi-resolution rollup of georeferenced images.
+
+The BASELINE.json north star materializes raster tiles at ONE cell
+resolution (operators/images.py tile_roundtrip_report); a serving map
+stack needs every coarser zoom too. This operator builds them the way a
+1000-executor job must: level by level, each level a single
+groupBy(parent).applyInPandas over the level below — 4 children per
+group (bounded memory by construction, no skew possible), pixel work
+Arrow-batched, never on the driver. Tile count shrinks 4× per level, so
+the whole pyramid costs < 4/3 of the base level.
+
+Pixel semantics are exact and associative: a child quadrant is placed
+into its parent by stride-2 subsampling (`arr[::2, ::2]`), so rolling
+up one level at a time equals downsampling straight from the base level
+(stride-2 composed k times IS stride-2^k) — tested against an
+independent numpy reference, and the invariant that makes incremental
+pyramid repair sound (re-rolling a dirty subtree reproduces byte-equal
+ancestors).
+
+Reference parity: egp-crn renders per-province map sheets from ONE
+resolution (src/helpers.py export path); the pyramid is the
+scale-generalized form the 10^12-image table needs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions.georef import phash_x, phash_y
+from ..functions.imagecodec import decode_image, resize_nearest
+from .cellsets import cell_parent_expr
+
+__all__ = ["base_tiles", "rollup_level", "build_pyramid"]
+
+_TILE_SCHEMA = "cell long, px binary, n_src long"
+
+
+def base_tiles(images: DataFrame, res: int, tile_px: int = 16) -> DataFrame:
+    """Base pyramid level: one ``tile_px``×``tile_px`` RGB tile per
+    occupied cell at ``res``, rendered from the cell's representative
+    image (min image_id — deterministic under any partitioning).
+
+    Two stages, both scale-shaped: a map-side-combining ``min_by``
+    aggregation picks ONE representative per cell (at most one row per
+    (cell, map partition) crosses the exchange — the knn_join family),
+    then an Arrow-batched decode+resize touches only the ~|cells|
+    survivors, never the full corpus. Returns (cell, px, n_src) with
+    ``px`` = raw uint8 RGB bytes (codec-free: pyramid levels compose
+    exactly; encode at the serving edge if wire format matters)."""
+    if tile_px & (tile_px - 1):
+        raise ValueError("tile_px must be a power of two")
+    cell = C.cell_of_xy(phash_x(F.col("phash")), phash_y(F.col("phash")), res)
+    reps = (
+        images.select(cell.alias("cell"), "image_id", "bytes")
+        .groupBy("cell")
+        .agg(F.min_by("bytes", "image_id").alias("bytes"),
+             F.count(F.lit(1)).alias("n_src"))
+    )
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            px = [
+                resize_nearest(decode_image(bytes(b)), tile_px, tile_px)
+                .tobytes()
+                for b in pdf["bytes"]
+            ]
+            yield pd.DataFrame({"cell": pdf["cell"], "px": px,
+                                "n_src": pdf["n_src"]})
+
+    return reps.mapInPandas(render, schema=_TILE_SCHEMA)
+
+
+def rollup_level(tiles: DataFrame, tile_px: int = 16) -> DataFrame:
+    """One pyramid level up: each parent tile mosaics its ≤4 children,
+    every child quadrant stride-2 subsampled into place (missing
+    children stay zero — transparent fill). Morton bit 0 of the child
+    cell is the x quadrant, bit 1 the y quadrant (functions/cells.py
+    interleave order). n_src sums over the subtree."""
+    half = tile_px // 2
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        for cell, px in zip(pdf["cell"], pdf["px"]):
+            arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                tile_px, tile_px, 3)
+            qx, qy = int(cell) & 1, (int(cell) >> 1) & 1
+            canvas[qy * half:(qy + 1) * half,
+                   qx * half:(qx + 1) * half] = arr[::2, ::2]
+        return pd.DataFrame({
+            "cell": [int(pdf["parent"].iloc[0])],
+            "px": [canvas.tobytes()],
+            "n_src": [int(pdf["n_src"].sum())],
+        })
+
+    return (
+        tiles.withColumn("parent", cell_parent_expr(F.col("cell")))
+        .groupBy("parent")
+        .applyInPandas(fold, schema=_TILE_SCHEMA)
+    )
+
+
+def build_pyramid(images: DataFrame, res: int, min_res: int,
+                  tile_px: int = 16) -> DataFrame:
+    """Full pyramid: levels ``res`` down to ``min_res`` inclusive,
+    tagged with a ``res`` column. ``res - min_res`` rollup passes, each
+    reading only the level above it."""
+    if not 0 <= min_res <= res:
+        raise ValueError("need 0 <= min_res <= res")
+    # each level is cached before the union: union branches re-execute
+    # shared lineage otherwise, which would recompute the base decode
+    # once PER LEVEL (at real scale each level lands in the catalog as
+    # it is built, which serves the same purpose)
+    level = base_tiles(images, res, tile_px).cache()
+    out = level.withColumn("res", F.lit(res))
+    for r in range(res - 1, min_res - 1, -1):
+        level = rollup_level(level, tile_px).cache()
+        out = out.unionByName(level.withColumn("res", F.lit(r)))
+    return out.select("res", "cell", "px", "n_src")

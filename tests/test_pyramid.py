@@ -1,0 +1,107 @@
+"""Tile pyramid rollup: level-by-level == independent numpy reference,
+count conservation, and stride-composition exactness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from egp_crn_spark.functions import cells as C
+from egp_crn_spark.functions.imagecodec import decode_image, resize_nearest
+from egp_crn_spark.operators.pyramid import (base_tiles, build_pyramid,
+                                             rollup_level)
+
+RES, MIN_RES, PX = 5, 2, 8
+
+
+@pytest.fixture(scope="module")
+def images(spark, fixtures_dir):
+    return spark.read.parquet(f"{fixtures_dir}/images.parquet")
+
+
+def _np_pyramid(images_pdf, res, min_res, px):
+    """Independent driver-side reference: dict res -> {cell: (arr, n)}."""
+    from egp_crn_spark.config import EXTENT
+    levels: dict[int, dict[int, tuple[np.ndarray, int]]] = {}
+    base: dict[int, tuple[bytes, str, int]] = {}
+    scale = EXTENT / (1 << 32)
+    ph = images_pdf["phash"].to_numpy(np.int64)
+    xs = (((ph >> 32) & 0xFFFFFFFF) + 0.5) * scale
+    ys = ((ph & 0xFFFFFFFF) + 0.5) * scale
+    cells = C.cell_of_xy_np(xs, ys, res)
+    for cell, img_id, b in zip(cells, images_pdf["image_id"],
+                               images_pdf["bytes"]):
+        cell = int(cell)
+        prev = base.get(cell)
+        if prev is None:
+            base[cell] = (b, img_id, 1)
+        else:
+            pb, pid, n = prev
+            if img_id < pid:
+                pb, pid = b, img_id
+            base[cell] = (pb, pid, n + 1)
+    levels[res] = {
+        c: (resize_nearest(decode_image(bytes(b)), px, px), n)
+        for c, (b, _pid, n) in base.items()
+    }
+    for r in range(res - 1, min_res - 1, -1):
+        up: dict[int, tuple[np.ndarray, int]] = {}
+        for cell, (arr, n) in levels[r + 1].items():
+            morton = cell & ((1 << C.RES_SHIFT) - 1)
+            parent = ((r << C.RES_SHIFT) | (morton >> 2))
+            qx, qy = morton & 1, (morton >> 1) & 1
+            canvas, tot = up.get(parent, (np.zeros((px, px, 3), np.uint8), 0))
+            half = px // 2
+            canvas = canvas.copy()
+            canvas[qy * half:(qy + 1) * half,
+                   qx * half:(qx + 1) * half] = arr[::2, ::2]
+            up[parent] = (canvas, tot + n)
+        levels[r] = up
+    return levels
+
+
+def test_pyramid_matches_numpy_reference(spark, images):
+    got = build_pyramid(images, RES, MIN_RES, PX).toPandas()
+    ref = _np_pyramid(images.toPandas(), RES, MIN_RES, PX)
+    for r in range(MIN_RES, RES + 1):
+        sub = got[got["res"] == r]
+        assert set(sub["cell"]) == set(ref[r].keys()), f"cells differ at res {r}"
+        for _, row in sub.iterrows():
+            arr = np.frombuffer(bytes(row["px"]), np.uint8).reshape(PX, PX, 3)
+            want_arr, want_n = ref[r][int(row["cell"])]
+            assert row["n_src"] == want_n
+            assert (arr == want_arr).all(), f"pixels differ at res {r}"
+
+
+def test_count_conservation(spark, images):
+    pyr = build_pyramid(images, RES, MIN_RES, PX)
+    per_level = (pyr.groupBy("res").agg(F.sum("n_src").alias("n"))
+                 .orderBy("res").collect())
+    total = images.count()
+    assert all(r.n == total for r in per_level)
+
+
+def test_rollup_is_stride_composition(spark, images):
+    """Two single-level rollups == the same pixels as stride-4 sampling
+    of the base quadrants (exactness of the nearest-neighbour scheme)."""
+    base = base_tiles(images, RES, PX).cache()
+    up2 = rollup_level(rollup_level(base, PX), PX).toPandas()
+    base_pdf = base.toPandas()
+    grand: dict[int, np.ndarray] = {}
+    for _, r in base_pdf.iterrows():
+        cell = int(r["cell"])
+        morton = cell & ((1 << C.RES_SHIFT) - 1)
+        parent = ((RES - 2) << C.RES_SHIFT) | (morton >> 4)
+        q = morton & 0xF  # two Morton levels: x = bits 0,2; y = bits 1,3
+        qx = (q & 1) | ((q >> 1) & 2)
+        qy = ((q >> 1) & 1) | ((q >> 2) & 2)
+        arr = np.frombuffer(bytes(r["px"]), np.uint8).reshape(PX, PX, 3)
+        quarter = PX // 4
+        canvas = grand.setdefault(parent, np.zeros((PX, PX, 3), np.uint8))
+        canvas[qy * quarter:(qy + 1) * quarter,
+               qx * quarter:(qx + 1) * quarter] = arr[::4, ::4]
+    assert set(up2["cell"]) == set(grand.keys())
+    for _, row in up2.iterrows():
+        arr = np.frombuffer(bytes(row["px"]), np.uint8).reshape(PX, PX, 3)
+        assert (arr == grand[int(row["cell"])]).all()
