@@ -364,19 +364,12 @@ SQL_IVF_PQ_TOPK = f"""
 _PYR_RES, _PYR_MIN_RES, _PYR_PX = 6, 3, 4
 
 
-def q_tile_pyramid(spark, sf_dir):
-    """Raster tile pyramid rollup (operators/pyramid.py): events become
-    georeferenced 4×4 images (phash packed so phash_x/phash_y equal the
-    key_x/key_y oracle coordinates), the full pyramid is built res 6→3,
-    and the oracle independently recomputes every level's (cell, n_src)
-    from pure cell arithmetic — verifying the rollup tree (parent ids +
-    subtree count propagation) level by level. Pixel exactness is
-    covered by tests/test_pyramid.py's numpy-reference battery (pixels
-    aren't SQL-expressible)."""
+def _pyr_images(spark, sf_dir):
+    """events → georeferenced 4×4 images: phash packed so that
+    phash_x/phash_y equal the key_x/key_y oracle coordinates exactly."""
     import pandas as pd
 
     from .functions.georef import _AXIS_MOD, _KX, _KY
-    from .operators.pyramid import build_pyramid
 
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_id").alias("image_id"),
@@ -396,24 +389,69 @@ def q_tile_pyramid(spark, sf_dir):
             yield pd.DataFrame({"image_id": pdf["image_id"],
                                 "phash": pdf["phash"], "bytes": px})
 
-    images = ev.mapInPandas(gen, "image_id long, phash long, bytes binary")
-    pyr = build_pyramid(images, _PYR_RES, _PYR_MIN_RES, tile_px=_PYR_PX)
+    return ev.mapInPandas(gen, "image_id long, phash long, bytes binary")
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Raster tile pyramid rollup (operators/pyramid.py): the full
+    pyramid is built res 6→3 and the oracle independently recomputes
+    every level's (cell, n_src) from pure cell arithmetic — verifying
+    the rollup tree (parent ids + subtree count propagation) level by
+    level. Pixel exactness is covered by tests/test_pyramid.py's
+    numpy-reference battery (pixels aren't SQL-expressible)."""
+    from .operators.pyramid import build_pyramid
+
+    pyr = build_pyramid(_pyr_images(spark, sf_dir), _PYR_RES,
+                        _PYR_MIN_RES, tile_px=_PYR_PX)
     return pyr.select("res", "cell", "n_src")
 
 
 from .functions.cells import cell_of_xy_sql  # noqa: E402
 from .functions.georef import key_x_sql, key_y_sql  # noqa: E402
 
-SQL_TILE_PYRAMID = "\nunion all\n".join(
-    f"""
+
+def _pyr_sql(where: str = "") -> str:
+    return "\nunion all\n".join(
+        f"""
   select cast({r} as int) as res,
          cast({cell_of_xy_sql('x', 'y', r)} as bigint) as cell,
          count(*) as n_src
   from (select {key_x_sql('event_id')} as x,
-               {key_y_sql('event_id')} as y from events)
+               {key_y_sql('event_id')} as y from events {where})
   group by 2"""
-    for r in range(_PYR_MIN_RES, _PYR_RES + 1)
-)
+        for r in range(_PYR_MIN_RES, _PYR_RES + 1)
+    )
+
+
+SQL_TILE_PYRAMID = _pyr_sql()
+
+
+def q_pyramid_update(spark, sf_dir):
+    """Incremental pyramid maintenance (pyramid_update): vintage 1 is
+    events with event_id % 7 != 0; the changelog inserts the % 7 == 0
+    rows and deletes the % 5 == 0 survivors (the view_maintain vintage
+    scheme). Only dirty subtrees re-roll; the result must equal a
+    from-scratch pyramid of the final row set, which the oracle
+    recomputes directly per level."""
+    from .operators.pyramid import build_pyramid, pyramid_update
+
+    img = _pyr_images(spark, sf_dir)
+    key = F.col("image_id")
+    v1 = img.filter(key % 7 != 0)
+    inserts = img.filter(key % 7 == 0)
+    deletes = v1.filter(key % 5 == 0)
+    v2 = (v1.filter(~(key % 5 == 0))).unionByName(inserts)
+    changed = (inserts.withColumn("_change_type", F.lit("insert"))
+               .unionByName(deletes.withColumn("_change_type",
+                                               F.lit("delete"))))
+    old = build_pyramid(v1, _PYR_RES, _PYR_MIN_RES, tile_px=_PYR_PX)
+    upd = pyramid_update(old, v2, changed, _PYR_RES, _PYR_MIN_RES,
+                         tile_px=_PYR_PX)
+    return upd.select("res", "cell", "n_src")
+
+
+SQL_PYRAMID_UPDATE = _pyr_sql(
+    "where event_id % 7 = 0 or (event_id % 7 != 0 and event_id % 5 != 0)")
 
 
 # --------------------------------------------------- z-order data skipping
@@ -477,4 +515,5 @@ QUERIES5 = {
     "ivf_pq_topk": (q_ivf_pq_topk, SQL_IVF_PQ_TOPK),
     "zorder_pruned_read": (q_zorder_pruned_read, SQL_ZORDER_PRUNED_READ),
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
+    "pyramid_update": (q_pyramid_update, SQL_PYRAMID_UPDATE),
 }

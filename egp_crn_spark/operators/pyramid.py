@@ -36,7 +36,8 @@ from ..functions.georef import phash_x, phash_y
 from ..functions.imagecodec import decode_image, resize_nearest
 from .cellsets import cell_parent_expr
 
-__all__ = ["base_tiles", "rollup_level", "build_pyramid"]
+__all__ = ["base_tiles", "rollup_level", "build_pyramid",
+           "pyramid_update"]
 
 _TILE_SCHEMA = "cell long, px binary, n_src long"
 
@@ -121,4 +122,79 @@ def build_pyramid(images: DataFrame, res: int, min_res: int,
     for r in range(res - 1, min_res - 1, -1):
         level = rollup_level(level, tile_px).cache()
         out = out.unionByName(level.withColumn("res", F.lit(r)))
+    return out.select("res", "cell", "px", "n_src")
+
+
+def pyramid_update(old_pyramid: DataFrame, images: DataFrame,
+                   changed: DataFrame, res: int, min_res: int,
+                   tile_px: int = 16, emit: str = "full") -> DataFrame:
+    """Incremental pyramid maintenance: re-roll ONLY the dirty subtrees.
+
+    ``old_pyramid`` is a prior ``build_pyramid`` output (levels ``res``
+    … ``min_res``), ``images`` the CURRENT image table (post-changes),
+    and ``changed`` the changed image rows in the snaplog changelog
+    shape (a ``_change_type`` column; inserts AND deletes both dirty
+    their cell — the row set, not the type, is what matters). The
+    maintained pyramid equals ``build_pyramid(images, ...)`` byte-equal
+    (tested), but the work is O(|changed| + dirty-ancestor paths):
+
+    - dirty base cells = distinct cells of changed rows (metadata-sized);
+    - the base level recomputes representatives only for dirty cells
+      (semi-join before the min_by aggregation — the full corpus is
+      touched once by the cell-membership filter, decoded only for
+      dirty survivors);
+    - each coarser level re-mosaics only parents of dirty cells, reading
+      the already-patched level below — a deleted last image empties its
+      cell and the parent re-rolls with fewer children (transparent
+      fill), the same associativity the numpy-reference test pins.
+
+    This is the snaplog-changelog composition the index maintainer uses
+    for ANN (operators/index_maintain.py), applied to the raster stack:
+    the reference's full per-province re-render becomes an incremental
+    repair at 10^12-image scale.
+
+    ``emit="full"`` returns the complete patched pyramid (old tiles
+    anti-joined against the dirty set, unioned with the recomputed ones
+    — the equality-testable form). ``emit="delta"`` returns ONLY the
+    recomputed tiles, the production write shape: the writer overwrites
+    the dirty cell range per level, so a cell emptied by deletes is
+    simply absent from the delta (overwrite-partition tombstone
+    semantics, sources/snaplog.py overwrite_partitions).
+
+    When repair pays off: churn must be cell-sparse or spatially
+    localized (a vintage over one region — the reference's model), and
+    the corpus should live cell-clustered (operators/cluster.py) so the
+    dirty-member scan is file-pruned. Uniform churn touching a large
+    fraction of cells → rebuild instead (BENCH/PYRAMID.md measures the
+    boundary)."""
+    if emit not in ("full", "delta"):
+        raise ValueError("emit must be 'full' or 'delta'")
+    cell = C.cell_of_xy(phash_x(F.col("phash")), phash_y(F.col("phash")),
+                        res)
+    dirty = (changed.select(cell.alias("cell")).distinct()).cache()
+
+    level_new = base_tiles(
+        images.join(F.broadcast(dirty.withColumnRenamed("cell", "_dirty")),
+                    cell == F.col("_dirty"), "left_semi"),
+        res, tile_px).cache()
+    def _patched(r, level_new, dirty):
+        return (old_pyramid.filter(F.col("res") == r)
+                .select("cell", "px", "n_src")
+                .join(F.broadcast(dirty), "cell", "left_anti")
+                .unionByName(level_new)).cache()
+
+    cur = _patched(res, level_new, dirty)
+    out = (level_new if emit == "delta" else cur).withColumn(
+        "res", F.lit(res))
+    for r in range(res - 1, min_res - 1, -1):
+        dirty = dirty.select(
+            cell_parent_expr(F.col("cell")).alias("cell")).distinct().cache()
+        siblings = cur.join(
+            F.broadcast(dirty),
+            cell_parent_expr(cur["cell"]) == dirty["cell"], "left_semi")
+        level_new = rollup_level(siblings, tile_px).cache()
+        cur = _patched(r, level_new, dirty)
+        out = out.unionByName(
+            (level_new if emit == "delta" else cur)
+            .withColumn("res", F.lit(r)))
     return out.select("res", "cell", "px", "n_src")

@@ -82,6 +82,47 @@ def test_count_conservation(spark, images):
     assert all(r.n == total for r in per_level)
 
 
+def test_pyramid_update_equals_rebuild(spark, images):
+    """Incremental maintenance == full rebuild, byte-equal at every
+    level, across inserts + deletes (including cells emptied by the
+    delete of their last image)."""
+    from egp_crn_spark.operators.pyramid import pyramid_update
+
+    h = F.abs(F.xxhash64("image_id", F.lit(11)))
+    v1 = images.filter(h % 3 != 0)
+    inserts = images.filter(h % 3 == 0)
+    deletes = v1.filter(h % 5 == 0)
+    v2 = (v1.join(deletes.select("image_id"), "image_id", "left_anti")
+          .unionByName(inserts))
+    changed = (inserts.withColumn("_change_type", F.lit("insert"))
+               .unionByName(deletes.withColumn("_change_type",
+                                               F.lit("delete"))))
+
+    old = build_pyramid(v1, RES, MIN_RES, PX)
+    got = pyramid_update(old, v2, changed, RES, MIN_RES, PX).toPandas()
+    want = build_pyramid(v2, RES, MIN_RES, PX).toPandas()
+    assert len(got) == len(want)
+    gm = {(int(r["res"]), int(r["cell"])): (bytes(r["px"]), int(r["n_src"]))
+          for _, r in got.iterrows()}
+    wm = {(int(r["res"]), int(r["cell"])): (bytes(r["px"]), int(r["n_src"]))
+          for _, r in want.iterrows()}
+    assert gm == wm
+    # the delete leg really exercised cell emptying: some v1 base cell
+    # must be gone from the maintained pyramid
+    old_cells = {int(r["cell"]) for _, r in
+                 old.filter(F.col("res") == RES).toPandas().iterrows()}
+    new_cells = {c for (r, c) in wm if r == RES}
+    assert old_cells - new_cells, "fixture change set emptied no cell"
+    # delta emit: exactly the recomputed tiles, byte-equal to their
+    # full-emit twins, and strictly fewer than the whole pyramid
+    delta = pyramid_update(old, v2, changed, RES, MIN_RES, PX,
+                           emit="delta").toPandas()
+    assert 0 < len(delta) < len(want)
+    for _, r in delta.iterrows():
+        assert wm[(int(r["res"]), int(r["cell"]))] == (bytes(r["px"]),
+                                                       int(r["n_src"]))
+
+
 def test_rollup_is_stride_composition(spark, images):
     """Two single-level rollups == the same pixels as stride-4 sampling
     of the base quadrants (exactness of the nearest-neighbour scheme)."""
