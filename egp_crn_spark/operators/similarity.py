@@ -545,17 +545,29 @@ def ivf_pq_probe(queries: DataFrame, index_pq: DataFrame,
                  refine_mult: int = 16,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  broadcast_queries: bool = True,
-                 max_cell: int | None = None) -> DataFrame:
+                 max_cell: int | None = None,
+                 approx_ok: bool = False) -> DataFrame:
     """Query the COMPRESSED index: probe cells exactly like ivf_probe,
     score candidates by asymmetric distance (per-query lookup tables
     over the codebooks — one small matmul per unique query per batch,
     then a byte-gather per candidate), keep top k*refine_mult, and
     re-rank EXACTLY against ``refine_corpus`` (equi-join by id touching
     finalists only). Without a refine corpus, returns ADC-ranked top-k
-    (sim is then approximate). ``max_cell`` bounds candidates per
-    probed cell (see cap_index_cells)."""
+    (sim is then approximate) — measured recall without refine drops to
+    ~0.26 on clustered corpora whose neighbours differ only in
+    within-cluster residual (the train_pq docstring's m-curve), so the
+    approximate mode must be requested explicitly with
+    ``approx_ok=True``. ``max_cell`` bounds candidates per probed cell
+    (see cap_index_cells)."""
     import pyarrow as pa
     from pyspark.sql.types import (DoubleType, StructField, StructType)
+
+    if refine_corpus is None and not approx_ok:
+        raise ValueError(
+            "ivf_pq_probe without refine_corpus returns ADC-approximate "
+            "ranks (recall can be far below the refined 0.93 — see "
+            "docstring); pass refine_corpus=... or opt in explicitly "
+            "with approx_ok=True")
 
     if max_cell is not None:
         index_pq, _ = cap_index_cells(index_pq, max_cell)

@@ -306,8 +306,10 @@ def test_ivf_pq_adc_only_ranking(spark, embeddings):
     C = SIM.train_centroids(embeddings, ncells=8, sample=512)
     B = SIM.train_pq(embeddings, C, m=8)
     idx_pq = SIM.ivf_pq_assign(embeddings, C, B)
+    with pytest.raises(ValueError, match="approx_ok"):
+        SIM.ivf_pq_probe(queries, idx_pq, C, B, k=5, nprobe=3)
     got = SIM.ivf_pq_probe(queries, idx_pq, C, B, k=5, nprobe=3,
-                           refine_corpus=None).toPandas()
+                           refine_corpus=None, approx_ok=True).toPandas()
     assert (got.groupby("q_id").size() <= 5).all()
     assert set(got.columns) == {"q_id", "n_id", "rank", "sim"}
     # ADC sims approximate cosine: every returned sim is within the PQ

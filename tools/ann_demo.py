@@ -157,7 +157,7 @@ def main() -> None:
 
     adc = run("ivf_pq_adc_probe",
               ivf_pq_probe(queries, pq_index, C, B, k=K,
-                           nprobe=pq_cfg["nprobe"]))
+                           nprobe=pq_cfg["nprobe"], approx_ok=True))
     recall_adc = adc.join(bf, ["q_id", "n_id"], "left_semi").count() / (nq * K)
     ref = run("ivf_pq_refined_probe",
               ivf_pq_probe(queries, pq_index, C, B, k=K,
