@@ -504,6 +504,53 @@ SQL_ZORDER_PRUNED_READ = f"""
 """
 
 
+def q_rewrite_compact(spark, sf_dir):
+    """rewrite_data_files parity (snaplog.rewrite_files): a
+    hash-scattered table adopts a sort order and is rewritten with NO
+    logical change — the asserts prove the replace snapshot prunes
+    where the scattered one couldn't and that time travel still sees
+    the pre-rewrite files; the returned (pruned) read must equal the
+    oracle's direct filter."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .functions.georef import key_x, key_y
+    from .operators.cluster import skipping_report
+    from .sources.snaplog import SnapshotLogTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        key_x(F.col("event_id")).alias("x"),
+        key_y(F.col("event_id")).alias("y"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/egp_rewrite_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = SnapshotLogTable(spark, path)
+    v1 = t0.overwrite(ev.repartition(16, "event_id"))
+    where = [("x", "<", 16384.0)]
+    assert skipping_report(t0, where)["files_read"] == 16  # scattered
+
+    t = SnapshotLogTable(spark, path, sort_cols=["x"])
+    sid = t.rewrite_files(num_files=8)
+    rep = skipping_report(t, where)
+    assert rep["files_total"] == 8 and rep["files_read"] < 8
+    assert t.snapshots()[-1]["operation"] == "replace"
+    assert t.read(v1).count() == t.read(sid).count()  # no logical change
+    return t.read(where=where).select("event_id", "x", "y")
+
+
+SQL_REWRITE_COMPACT = f"""
+  select event_id, x, y from (
+    select event_id,
+           {key_x_sql('event_id')} as x,
+           {key_y_sql('event_id')} as y
+    from events)
+  where x < 16384.0
+"""
+
+
 QUERIES5 = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
@@ -516,4 +563,5 @@ QUERIES5 = {
     "zorder_pruned_read": (q_zorder_pruned_read, SQL_ZORDER_PRUNED_READ),
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
     "pyramid_update": (q_pyramid_update, SQL_PYRAMID_UPDATE),
+    "rewrite_compact": (q_rewrite_compact, SQL_REWRITE_COMPACT),
 }

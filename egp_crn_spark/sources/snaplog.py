@@ -310,7 +310,8 @@ class SnapshotLogTable:
         return [s["summary"] for s in self.snapshots() if s["summary"]]
 
     # ------------------------------------------------------------ commits
-    def _stage_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+    def _stage_files(self, df: DataFrame, snapshot_id: int,
+                     num_files: int | None = None) -> list[dict]:
         """Write df's parquet files to a staging dir, move them into
         data/ under names unique to this commit ATTEMPT, return manifest
         entries [{path, partition, rows}] (partition = the string
@@ -324,7 +325,7 @@ class SnapshotLogTable:
         orphans (Iceberg's model — cleaned by maintenance, never read)."""
         attempt = uuid.uuid4().hex[:8]
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        n = df.sparkSession.sparkContext.defaultParallelism
+        n = num_files or df.sparkSession.sparkContext.defaultParallelism
         if self.sort_cols:
             # Iceberg's write.distribution-mode=range + table sort order:
             # range-cluster on (partition, sort cols) and sort within
@@ -339,6 +340,10 @@ class SnapshotLogTable:
             # input task opens a file in every partition dir (tasks ×
             # partitions small files — the classic 100-TB write killer)
             df = df.repartition(n, self.partition_col)
+        elif num_files is not None:
+            # plain compaction (rewrite_files on an unsorted table):
+            # shrink to the requested file count without a shuffle
+            df = df.coalesce(num_files)
         writer = df.write.mode("overwrite")
         if self.partition_col is not None:
             writer = writer.partitionBy(self.partition_col)
@@ -508,6 +513,49 @@ class SnapshotLogTable:
         raise CommitConflict(
             f"append lost the optimistic race {_COMMIT_RETRIES} times at "
             f"{self.path}")
+
+    def rewrite_files(self, where: list[tuple] | None = None,
+                      num_files: int | None = None) -> int:
+        """Iceberg's ``rewrite_data_files`` maintenance action: rewrite
+        the current data files — compacting small files and applying the
+        table's (possibly newly-adopted) sort order — with NO logical
+        change. ``where`` restricts which files are rewritten (stats
+        triples, plan_files semantics; untouched files carry over),
+        ``num_files`` the output file count.
+
+        Commits with operation='replace' and a strict expected-parent
+        check: a concurrent commit between planning and commit raises
+        CommitConflict (re-run the maintenance — rows rewritten from a
+        stale snapshot must never clobber newer data). Time travel to
+        pre-rewrite snapshots still reads the old files.
+
+        Changelog note: the metadata-only changelog is a net file-set
+        diff, so a span crossing a replace shows the rewritten rows as
+        delete + insert RE-STATEMENTS (identical content). Downstream
+        incremental consumers are already idempotent under re-statement
+        — index maintenance applies `_as_of >= _ts` (index_maintain.py),
+        additive view deltas cancel — mirroring how Iceberg CDC readers
+        treat replace commits as row-neutral."""
+        sid = self.resolve(None)
+        if sid is None:
+            raise ValueError(f"table at {self.path} has no snapshots")
+        m = self._manifest(sid)
+        rewrite = self.plan_files(sid, where)
+        if not rewrite:
+            return sid
+        keep_paths = {e["path"] for e in m["files"]} - \
+            {e["path"] for e in rewrite}
+        carried = [e for e in m["files"] if e["path"] in keep_paths]
+        df = self._read_files(rewrite, m.get("schema"))
+        sj = df.schema.json()
+        new = self._stage_files(df, sid + 1, num_files=num_files)
+        try:
+            return self._commit(carried + new, "replace",
+                                expected_parent=sid, schema_json=sj)
+        except CommitConflict:
+            raise CommitConflict(
+                f"concurrent commit during rewrite_files at {self.path}; "
+                "re-run the maintenance against the new snapshot")
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Iceberg's dynamic partition overwrite (`overwritePartitions`):

@@ -113,6 +113,59 @@ def test_sort_order_persists_and_inherits(spark, tmp_path):
     assert SnapshotLogTable(spark, path).sort_cols == ["y"]
 
 
+def test_rewrite_files_recluster(spark, tmp_path):
+    """rewrite_data_files parity: adopt a sort order on a scattered
+    table, rewrite, and pruning starts working — zero logical change."""
+    path = str(tmp_path / "rewrite")
+    pts = _points(spark)
+    t0 = SnapshotLogTable(spark, path)
+    t0.overwrite(pts.repartition(16, "pid"))  # hash-scattered layout
+    before = skipping_report(t0, BBOX)
+    assert before["files_read"] == before["files_total"]
+
+    t = SnapshotLogTable(spark, path,
+                         sort_cols=["x"])  # adopt an order, then compact
+    sid = t.rewrite_files(num_files=8)
+    after = skipping_report(t, BBOX)
+    assert after["files_total"] == 8
+    assert after["files_read"] < 8
+    # logical content unchanged; old snapshot still time-travels
+    assert _checksum(t.read()) == _checksum(pts)
+    assert _checksum(t.read(sid - 1)) == _checksum(pts)
+    assert t.snapshots()[-1]["operation"] == "replace"
+    # changelog across the replace: pure re-statements (delete + insert
+    # of identical rows) — the idempotent shape downstream consumers eat
+    ch = t.changelog(sid - 1, sid)
+    ins = ch.filter("_change_type = 'insert'").drop("_change_type")
+    dl = ch.filter("_change_type = 'delete'").drop("_change_type")
+    assert _checksum(ins) == _checksum(dl) == _checksum(pts)
+
+
+def test_rewrite_files_selective_and_compacting(spark, tmp_path):
+    """where= rewrites only matching files (others carry over
+    byte-identical); plain compaction shrinks file count."""
+    path = str(tmp_path / "selective")
+    t = SnapshotLogTable(spark, path, sort_cols=["x"])
+    t.overwrite(_points(spark))
+    n0 = len(t.plan_files())
+    for s in (5, 6, 7):  # small appends → small files
+        t.append(_points(spark, n=64, seed=s))
+    assert len(t.plan_files()) > n0
+    before = {e["path"] for e in t.plan_files()}
+    # rewrite only the low-x files; high-x files must carry over
+    sid = t.rewrite_files(where=[("x", "<", 20000.0)], num_files=2)
+    after = {e["path"] for e in t.plan_files()}
+    assert after & before, "untouched files must carry over"
+    assert after != before
+    want = _checksum(_points(spark)
+                     .unionByName(_points(spark, n=64, seed=5))
+                     .unionByName(_points(spark, n=64, seed=6))
+                     .unionByName(_points(spark, n=64, seed=7)))
+    assert _checksum(t.read()) == want
+    assert t.snapshots()[-1]["operation"] == "replace"
+    assert sid == t.current_snapshot_id()
+
+
 def test_sort_order_with_partition_col(spark, tmp_path):
     pts = _points(spark).withColumn(
         "part", (F.col("pid") % 4).cast("string"))
