@@ -551,6 +551,57 @@ SQL_REWRITE_COMPACT = f"""
 """
 
 
+def q_simplify_arcs(spark, sf_dir):
+    """Vector zoom generalization (operators/generalize.py): per-user
+    event paths become polylines, Douglas–Peucker'd at the res-6 tile
+    tolerance; emits per-arc vertex budgets plus a distributed check of
+    the DP guarantees (endpoints identical, every original vertex within
+    tol of the simplified chain). Rows-only driver check: DP is
+    recursive and not ANSI-SQL-expressible (the oracle_sql contract's
+    documented carve-out); the guarantees are value-asserted in the
+    `ok` column and pinned in tests/test_generalize.py."""
+    import pandas as pd
+
+    from .functions.geomkernel import point_to_polyline_distance
+    from .functions.georef import key_x, key_y
+    from .operators.generalize import simplify_lines, zoom_tolerance
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        key_x(F.col("event_id")).alias("x"),
+        key_y(F.col("event_id")).alias("y"))
+    arcs = (ev.groupBy("user_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("ts", F.array("x", "y").alias("p"))))
+                .alias("path"))
+            .select(F.col("user_id").alias("arc_id"),
+                    F.transform("path", lambda s: s["p"]).alias("vertices"))
+            .filter(F.size("vertices") >= 3))
+    tol = zoom_tolerance(6)
+    simp = simplify_lines(arcs, tol).withColumnRenamed(
+        "vertices", "simplified")
+    both = arcs.join(simp, "arc_id")
+
+    def check(it):
+        import numpy as np
+        for pdf in it:
+            rows = []
+            for aid, v, s in zip(pdf["arc_id"], pdf["vertices"],
+                                 pdf["simplified"]):
+                orig = np.asarray([[p[0], p[1]] for p in v])
+                kept = np.asarray([[p[0], p[1]] for p in s])
+                ok = (kept[0] == orig[0]).all() \
+                    and (kept[-1] == orig[-1]).all() \
+                    and all(point_to_polyline_distance(p[0], p[1], kept)
+                            <= tol + 1e-9 for p in orig)
+                rows.append((int(aid), len(orig), len(kept), bool(ok)))
+            yield pd.DataFrame(rows, columns=["arc_id", "n_in", "n_out",
+                                              "ok"])
+
+    return both.mapInPandas(check,
+                            "arc_id long, n_in long, n_out long, ok boolean")
+
+
 QUERIES5 = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
@@ -564,4 +615,5 @@ QUERIES5 = {
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
     "pyramid_update": (q_pyramid_update, SQL_PYRAMID_UPDATE),
     "rewrite_compact": (q_rewrite_compact, SQL_REWRITE_COMPACT),
+    "simplify_arcs": (q_simplify_arcs, None),  # rows-only: DP not in SQL
 }

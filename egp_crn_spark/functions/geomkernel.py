@@ -408,3 +408,43 @@ def split_line_at_distances(line: np.ndarray, dists: list[float]) -> list[np.nda
         piece = np.vstack([line_interpolate(line, lo), mid, line_interpolate(line, hi)])
         pieces.append(piece)
     return pieces
+
+
+def simplify_dp(line: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification (iterative stack — no
+    recursion limit on degenerate inputs). Endpoints always survive;
+    every dropped vertex lies within ``tol`` perpendicular distance of
+    the chord of the recursion step that dropped it (the classic DP
+    guarantee). tol=0 removes exactly-collinear interior vertices.
+
+    The reference leans on geometry simplification for speed
+    (helpers.py:376 buffer(resolution=5), fetch_deltas.py:197); here it
+    is the vector-side zoom generalization for per-level tile
+    materialization (operators/generalize.py)."""
+    n = len(line)
+    if n <= 2:
+        return line.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        a, b = line[lo], line[hi]
+        seg = b - a
+        pts = line[lo + 1:hi]
+        den = float(np.hypot(*seg))
+        if den <= 0.0:
+            # degenerate chord: distance to the (coincident) endpoints
+            d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+        else:
+            d = np.abs((pts[:, 0] - a[0]) * seg[1]
+                       - (pts[:, 1] - a[1]) * seg[0]) / den
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            split = lo + 1 + imax
+            keep[split] = True
+            stack.append((lo, split))
+            stack.append((split, hi))
+    return line[keep]

@@ -1,0 +1,72 @@
+"""Vector zoom generalization — per-level polyline simplification.
+
+The raster side of the tile stack rolls up with operators/pyramid.py;
+the VECTOR side (road/boundary arcs rendered into the same tiles)
+generalizes by Douglas–Peucker simplification with a per-zoom tolerance
+tied to the cell size: at resolution r one pixel of a t-pixel tile
+spans ``cell_size(r) / t`` map units, and detail below that is
+invisible. Reference parity: egp-crn simplifies geometry for speed
+(helpers.py:376 ``buffer(resolution=5)``, fetch_deltas.py:197); here
+simplification is a first-class distributed operator (Arrow-batched
+numpy kernel, never per-row Python).
+
+Scale shape: embarrassingly parallel (one row in, one row out, no
+shuffle); a multi-zoom build is a union of per-zoom passes over the
+same scan, each pass pruning to the columns it needs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_size
+from ..functions.geomkernel import simplify_dp
+
+__all__ = ["simplify_lines", "zoom_tolerance", "generalize_levels"]
+
+
+def zoom_tolerance(res: int, tile_px: int = 256) -> float:
+    """The invisible-detail tolerance at ``res``: one tile pixel."""
+    return cell_size(res) / tile_px
+
+
+def simplify_lines(arcs: DataFrame, tol: float,
+                   vertices_col: str = "vertices") -> DataFrame:
+    """Douglas–Peucker every polyline (array<array<double>> [x, y]
+    vertices) with tolerance ``tol``. Endpoints survive — arc topology
+    (node identity at segment ends, operators/nodes.py) is preserved by
+    construction. Null/short rows pass through untouched."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for v in pdf[vertices_col]:
+                if v is None or len(v) <= 2:
+                    out.append(v)
+                    continue
+                line = np.asarray([[p[0], p[1]] for p in v], dtype=np.float64)
+                out.append([list(p) for p in simplify_dp(line, tol)])
+            pdf = pdf.copy()
+            # object Series: rows carry ragged list-of-[x, y] lists
+            pdf[vertices_col] = pd.Series(out, index=pdf.index,
+                                          dtype=object)
+            yield pdf
+
+    return arcs.mapInPandas(gen, schema=arcs.schema)
+
+
+def generalize_levels(arcs: DataFrame, reses: list[int],
+                      tile_px: int = 256,
+                      vertices_col: str = "vertices") -> DataFrame:
+    """One generalized copy of the arc set per zoom level, tagged with
+    ``res`` — the vector twin of build_pyramid's level union."""
+    out = None
+    for r in sorted(reses, reverse=True):
+        lvl = simplify_lines(arcs, zoom_tolerance(r, tile_px),
+                             vertices_col).withColumn("res", F.lit(r))
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
