@@ -259,6 +259,63 @@ def main() -> None:
               "and both its sides avoid sort-merge exchanges.",
     ))
 
+    # 11) Z-order pruned read: the predicate is planned from manifest
+    # stats (file list already pruned before Spark sees it) and the
+    # residual filter pushes into the parquet scan
+    from egp_crn_spark.operators.cluster import zorder_cluster
+    from egp_crn_spark.sources.snaplog import SnapshotLogTable
+
+    zt = SnapshotLogTable(spark, "/tmp/plan_audit_zorder")
+    if zt.current_snapshot_id() is None:
+        zpts = spark.range(100_000).select(
+            F.col("id").alias("pid"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(65536))
+            .cast("double").alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(65536))
+            .cast("double").alias("y"))
+        zt.overwrite(zorder_cluster(zpts, "x", "y", num_files=16))
+    zw = [("x", ">=", 1000.0), ("x", "<=", 9000.0),
+          ("y", ">=", 1000.0), ("y", "<=", 9000.0)]
+    n_planned = len(zt.plan_files(None, zw))
+    audits.append(audit(
+        f"zorder pruned read ({n_planned}/16 files planned from stats)",
+        zt.read(where=zw),
+        wants=[("residual filter pushed to scan",
+                r"PushedFilters: \[.*GreaterThanOrEqual\(x"),
+               ("column-pruned scan", r"ReadSchema: [^\n]*pid")],
+        forbids=[("any exchange in a pure read", r"Exchange"),
+                 ("any Python stage", r"ArrowEvalPython|BatchEvalPython|MapInPandas")],
+        notes=f"Manifest stats pruned the file list to {n_planned}/16 "
+              "BEFORE plan time (metadata-only); the same predicate "
+              "then pushes into the parquet scan as the residual — two "
+              "independent skipping layers, zero exchanges, zero Python.",
+    ))
+
+    # 12) pyramid rollup level: one hash exchange into the 4-children
+    # groupBy, pixel work confined to the grouped-map pandas stage
+    from egp_crn_spark.operators.pyramid import base_tiles, rollup_level
+    from egp_crn_spark.synth import write_fixtures
+
+    fx = "/tmp/plan_audit_fixtures"
+    if not os.path.isdir(fx):
+        write_fixtures(fx, n_images=800, seed=42)
+    pimg = spark.read.parquet(f"{fx}/images.parquet")
+    audits.append(audit(
+        "tile pyramid rollup (one level)",
+        rollup_level(base_tiles(pimg, 5, 8), 8),
+        wants=[("grouped-map mosaic stage", r"FlatMapGroupsInPandas"),
+               ("partial map-side min_by aggregation",
+                r"HashAggregate[^\n]*partial_min_by|partial_min")],
+        forbids=[("per-row Python UDF", r"BatchEvalPython"),
+                 ("any sort-merge join", r"SortMergeJoin"),
+                 ("cartesian product", r"CartesianProduct")],
+        notes="base_tiles aggregates map-side (at most one candidate "
+              "row per (cell, map partition) crosses the exchange), "
+              "decodes only the per-cell survivors in one mapInPandas, "
+              "and the rollup is a single groupBy(parent) grouped-map "
+              "with <=4 rows per group — skew-immune by construction.",
+    ))
+
     all_ok = all(a["ok"] for a in audits)
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     with open(out, "w") as f:
