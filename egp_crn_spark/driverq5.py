@@ -602,6 +602,67 @@ def q_simplify_arcs(spark, sf_dir):
                             "arc_id long, n_in long, n_out long, ok boolean")
 
 
+def _event_arcs(spark, sf_dir, min_vertices=2):
+    """Per-user event paths as polylines, vertex order (ts, x, y) so
+    the DuckDB oracle reproduces the exact traversal."""
+    from .functions.georef import key_x, key_y
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        key_x(F.col("event_id")).alias("x"),
+        key_y(F.col("event_id")).alias("y"))
+    return (ev.groupBy("user_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("ts", "x", "y"))).alias("path"))
+            .select(F.col("user_id").alias("arc_id"),
+                    F.transform("path", lambda s: F.array(s["x"], s["y"]))
+                    .alias("vertices"))
+            .filter(F.size("vertices") >= min_vertices))
+
+
+def q_vector_tiles(spark, sf_dir):
+    """Vector tile materialization (operators/vectortiles.py): per-user
+    event paths are cut into res-3 cells (Liang–Barsky pieces, boundary
+    points inserted exactly). A tile grid partitions the plane, so the
+    pieces of an arc must sum to EXACTLY the arc's length — the oracle
+    recomputes each path's length straight from events, making the
+    clip's no-drop/no-double-count invariant a full value check (rounded
+    to 2 decimals: the piece sums run in a different order than the
+    oracle's single pass, so the last ~1e-7 of a ~1e6 value is
+    summation-order noise)."""
+    from .functions.geomexpr import line_length
+    from .operators.vectortiles import vector_tiles
+
+    arcs = _event_arcs(spark, sf_dir)
+    # res 3: these session paths are the degenerate domain-spanning-arc
+    # case (the docstring's "generalize or coarsen first"); road-like
+    # arcs tile at res 8-10 with a handful of cover cells each
+    pieces = vector_tiles(arcs, res=3)
+    return (pieces
+            .select("arc_id", line_length(F.col("vertices")).alias("l"))
+            .groupBy("arc_id")
+            .agg(F.round(F.sum("l"), 2).alias("len_r")))
+
+
+SQL_VECTOR_TILES = f"""
+  with pts as (
+    select user_id, ts,
+           {key_x_sql('event_id')} as x,
+           {key_y_sql('event_id')} as y
+    from events),
+  seg as (
+    select user_id,
+           lag(x) over w as px, lag(y) over w as py, x, y
+    from pts
+    window w as (partition by user_id order by ts, x, y))
+  select user_id as arc_id,
+         round(sum(sqrt((x - px) * (x - px) + (y - py) * (y - py))), 2)
+           as len_r
+  from seg where px is not null
+  group by user_id
+"""
+
+
 QUERIES5 = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
@@ -616,4 +677,5 @@ QUERIES5 = {
     "pyramid_update": (q_pyramid_update, SQL_PYRAMID_UPDATE),
     "rewrite_compact": (q_rewrite_compact, SQL_REWRITE_COMPACT),
     "simplify_arcs": (q_simplify_arcs, None),  # rows-only: DP not in SQL
+    "vector_tiles": (q_vector_tiles, SQL_VECTOR_TILES),
 }

@@ -211,3 +211,20 @@ def cells_covering_bbox(
         indexing="ij",
     )
     return cell_encode_np(ixs.ravel(), iys.ravel(), res)
+
+
+def compress_bits_np(a: np.ndarray) -> np.ndarray:
+    """Inverse of spread_bits_np: gather every second bit back into the
+    low 16 — the Morton decode half (classic pair-merge chain)."""
+    a = a.astype(np.int64) & 0x55555555
+    a = (a | (a >> 1)) & 0x33333333
+    a = (a | (a >> 2)) & 0x0F0F0F0F
+    a = (a | (a >> 4)) & 0x00FF00FF
+    a = (a | (a >> 8)) & 0x0000FFFF
+    return a
+
+
+def cell_to_ixy_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Morton decode: cell ids → integer cell coordinates (ix, iy)."""
+    morton = cell.astype(np.int64) & ((1 << RES_SHIFT) - 1)
+    return compress_bits_np(morton), compress_bits_np(morton >> 1)

@@ -448,3 +448,60 @@ def simplify_dp(line: np.ndarray, tol: float) -> np.ndarray:
             stack.append((lo, split))
             stack.append((split, hi))
     return line[keep]
+
+
+def clip_polyline_to_box(line: np.ndarray, x0: float, y0: float,
+                         x1: float, y1: float) -> list[np.ndarray]:
+    """Clip a polyline to a closed axis-aligned box (Liang–Barsky per
+    segment, consecutive in-box runs stitched into pieces). Returns the
+    pieces in path order; boundary-crossing points are inserted exactly
+    (linear interpolation), zero-length pieces are dropped. Length is
+    conserved: the pieces of a plane-partitioning tile grid sum to the
+    original polyline length (the vector-tile invariant
+    tests/test_vectortiles.py pins)."""
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+
+    def flush():
+        nonlocal cur
+        if len(cur) >= 2:
+            arr = np.asarray(cur)
+            if float(np.abs(np.diff(arr, axis=0)).sum()) > 0.0:
+                pieces.append(arr)
+        cur = []
+
+    for a, b in zip(line[:-1], line[1:]):
+        d = b - a
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in ((-d[0], a[0] - x0), (d[0], x1 - a[0]),
+                     (-d[1], a[1] - y0), (d[1], y1 - a[1])):
+            if p == 0.0:
+                if q < 0.0:
+                    ok = False
+                    break
+                continue
+            r = q / p
+            if p < 0.0:
+                if r > t1:
+                    ok = False
+                    break
+                t0 = max(t0, r)
+            else:
+                if r < t0:
+                    ok = False
+                    break
+                t1 = min(t1, r)
+        if not ok or t0 > t1:
+            flush()
+            continue
+        pa = a if t0 == 0.0 else a + t0 * d
+        pb = b if t1 == 1.0 else a + t1 * d
+        if t0 > 0.0 or not cur:
+            flush()
+            cur = [pa]
+        cur.append(pb)
+        if t1 < 1.0:
+            flush()
+    flush()
+    return pieces

@@ -163,7 +163,7 @@ def test_driver_registry_fully_oracled():
     predates the driver's current harness."""
     from egp_crn_spark.driverq import QUERIES
 
-    assert len(QUERIES) == 63, f"{len(QUERIES)} registry entries"
+    assert len(QUERIES) == 64, f"{len(QUERIES)} registry entries"
     missing = [n for n, (_fn, sql) in QUERIES.items() if sql is None]
     # the one documented rows-only carve-out: Douglas-Peucker is
     # recursive and not ANSI-SQL-expressible; its guarantees are
