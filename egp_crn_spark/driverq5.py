@@ -562,11 +562,11 @@ def q_simplify_arcs(spark, sf_dir):
     `ok` column and pinned in tests/test_generalize.py."""
     import pandas as pd
 
-    from .functions.geomkernel import point_to_polyline_distance
     from .functions.georef import key_x, key_y
     from .operators.generalize import simplify_lines, zoom_tolerance
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id") % 3 == 1).select(
         "user_id", "ts",
         key_x(F.col("event_id")).alias("x"),
         key_y(F.col("event_id")).alias("y"))
@@ -590,10 +590,18 @@ def q_simplify_arcs(spark, sf_dir):
                                  pdf["simplified"]):
                 orig = np.asarray([[p[0], p[1]] for p in v])
                 kept = np.asarray([[p[0], p[1]] for p in s])
+                # vectorized point-to-chain distance: (n,1,2) points vs
+                # (1,m,2) kept segments, min over segments per point
+                a, b = kept[None, :-1], kept[None, 1:]
+                d = b - a
+                t = np.clip(((orig[:, None] - a) * d).sum(-1)
+                            / np.maximum((d * d).sum(-1), 1e-300), 0, 1)
+                proj = a + t[..., None] * d
+                dev = np.sqrt(((proj - orig[:, None]) ** 2).sum(-1)) \
+                    .min(axis=1)
                 ok = (kept[0] == orig[0]).all() \
                     and (kept[-1] == orig[-1]).all() \
-                    and all(point_to_polyline_distance(p[0], p[1], kept)
-                            <= tol + 1e-9 for p in orig)
+                    and bool((dev <= tol + 1e-9).all())
                 rows.append((int(aid), len(orig), len(kept), bool(ok)))
             yield pd.DataFrame(rows, columns=["arc_id", "n_in", "n_out",
                                               "ok"])
@@ -607,7 +615,8 @@ def _event_arcs(spark, sf_dir, min_vertices=2):
     the DuckDB oracle reproduces the exact traversal."""
     from .functions.georef import key_x, key_y
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id") % 3 == 0).select(
         "user_id", "ts",
         key_x(F.col("event_id")).alias("x"),
         key_y(F.col("event_id")).alias("y"))
@@ -649,7 +658,7 @@ SQL_VECTOR_TILES = f"""
     select user_id, ts,
            {key_x_sql('event_id')} as x,
            {key_y_sql('event_id')} as y
-    from events),
+    from events where user_id % 3 = 0),
   seg as (
     select user_id,
            lag(x) over w as px, lag(y) over w as py, x, y
