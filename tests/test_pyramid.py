@@ -123,6 +123,77 @@ def test_pyramid_update_equals_rebuild(spark, images):
                                                        int(r["n_src"]))
 
 
+def test_pyramid_maintained_across_catalog_vintages(spark, images,
+                                                    tmp_path):
+    """The production maintenance loop: the corpus lives in a snaplog
+    table, each vintage commits a new snapshot, and the pyramid advances
+    with pyramid_update fed by the catalog's OWN metadata-only
+    changelog — equal to a from-scratch rebuild after every vintage
+    (including the overwrite vintage whose changelog re-states
+    unmodified rows as delete+insert)."""
+    from egp_crn_spark.operators.pyramid import pyramid_update
+    from egp_crn_spark.sources.snaplog import SnapshotLogTable
+
+    t = SnapshotLogTable(spark, str(tmp_path / "corpus"))
+    h = F.abs(F.xxhash64("image_id", F.lit(5)))
+    sid = t.overwrite(images.filter(h % 3 == 0))
+    pyr = build_pyramid(t.read(), RES, MIN_RES, PX)
+
+    def advance(new_sid):
+        nonlocal pyr, sid
+        ch = t.changelog(sid, new_sid)
+        pyr = pyramid_update(pyr, t.read(new_sid), ch, RES, MIN_RES, PX)
+        sid = new_sid
+
+    def check():
+        want = build_pyramid(t.read(sid), RES, MIN_RES, PX).toPandas()
+        got = pyr.toPandas()
+        wm = {(int(r["res"]), int(r["cell"])): (bytes(r["px"]),
+                                                int(r["n_src"]))
+              for _, r in want.iterrows()}
+        gm = {(int(r["res"]), int(r["cell"])): (bytes(r["px"]),
+                                                int(r["n_src"]))
+              for _, r in got.iterrows()}
+        assert gm == wm
+
+    # vintage 2: append new imagery
+    advance(t.append(images.filter(h % 3 == 1)))
+    check()
+    # vintage 3: full overwrite dropping some rows — the changelog
+    # re-states every surviving row (delete+insert), dirtying their
+    # cells; the repair must still converge to the rebuild
+    survivors = images.filter((h % 3 != 2) & (h % 5 != 0))
+    advance(t.overwrite(survivors))
+    check()
+
+
+def test_pyramid_serving_pruned_reads(spark, images, tmp_path):
+    """Serving composition: the pyramid lands in a snaplog table
+    partitioned by res and cell-sorted, so a map client fetching one
+    zoom's tile range reads a partition-and-stats-pruned slice."""
+    from egp_crn_spark.operators.cluster import skipping_report
+    from egp_crn_spark.sources.snaplog import SnapshotLogTable
+
+    pyr = build_pyramid(images, RES, MIN_RES, PX)
+    t = SnapshotLogTable(spark, str(tmp_path / "tiles"),
+                         partition_col="res", sort_cols=["cell"])
+    t.overwrite(pyr)
+    cells = sorted(
+        r.cell for r in pyr.filter(F.col("res") == RES).select("cell")
+        .collect())
+    lo, hi = cells[0], cells[len(cells) // 8]
+    where = [("res", "=", RES), ("cell", ">=", lo), ("cell", "<=", hi)]
+    rep = skipping_report(t, where)
+    assert rep["files_read"] < rep["files_total"]
+    got = t.read(where=where).select("cell", "n_src").toPandas()
+    want = (pyr.filter((F.col("res") == RES) & (F.col("cell") >= lo)
+                       & (F.col("cell") <= hi))
+            .select("cell", "n_src").toPandas())
+    assert sorted(map(tuple, got.values.tolist())) == \
+        sorted(map(tuple, want.values.tolist()))
+    assert len(want) > 0
+
+
 def test_rollup_is_stride_composition(spark, images):
     """Two single-level rollups == the same pixels as stride-4 sampling
     of the base quadrants (exactness of the nearest-neighbour scheme)."""
