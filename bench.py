@@ -328,15 +328,40 @@ def main() -> None:
         spark.read.parquet(img_path), max_hamming=2, max_bucket=200))
 
     # raster tile pyramid: rep-select + decode at res 7, three rollup
-    # levels down to res 4 (operators/pyramid.py; each thunk call builds
-    # fresh DataFrames, so every pass pays the full compute)
-    from egp_crn_spark.operators.pyramid import build_pyramid
+    # levels down to res 4 (operators/pyramid.py). build_pyramid caches
+    # each level, and Spark's CacheManager matches by analyzed plan — a
+    # plan-identical thunk on a later pass would silently count the
+    # PREVIOUS pass's cached levels (~0.4 s instead of the real build).
+    # So the row materializes level by level with its own caches and
+    # unpersists them before returning: every pass pays full compute.
+    from egp_crn_spark.operators.pyramid import base_tiles, rollup_level
 
     n_pyr = int(os.environ.get("SPARK_GRAFT_PYR_IMAGES", 0)) or max(
         int(PYR_IMAGES_PER_SF * sf), 20_000)
     pyr_path = ensure_pyramid_images(spark, n_pyr)
-    run("tile_pyramid", lambda: build_pyramid(
-        spark.read.parquet(pyr_path), res=7, min_res=4, tile_px=8))
+
+    class _CountThunk:
+        def __init__(self, fn):
+            self._fn = fn
+
+        def count(self):
+            return self._fn()
+
+    def _pyramid_pass():
+        total = 0
+        cached = []
+        lvl = base_tiles(spark.read.parquet(pyr_path), 7, tile_px=8)
+        for _r in range(7, 4, -1):
+            lvl = lvl.cache()
+            cached.append(lvl)
+            total += lvl.count()
+            lvl = rollup_level(lvl, tile_px=8)
+        total += lvl.count()
+        for c in cached:
+            c.unpersist(blocking=False)
+        return total
+
+    run("tile_pyramid", lambda: _CountThunk(_pyramid_pass))
 
     # ANN serving: probe a prebuilt bucketed IVF index (build amortized,
     # not timed — see ensure_ann_index); queries broadcast so the index
