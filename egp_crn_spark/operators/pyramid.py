@@ -63,6 +63,13 @@ def base_tiles(images: DataFrame, res: int, tile_px: int = 16) -> DataFrame:
         .agg(F.min_by("bytes", "image_id").alias("bytes"),
              F.count(F.lit(1)).alias("n_src"))
     )
+    # the decode is CPU-bound per ROW, but AQE coalesces the post-agg
+    # exchange by BYTES — a few-MB representative set collapses to one
+    # partition and decodes single-threaded. Size by rows-per-core
+    # instead: one partition per core is right at any scale for a
+    # compute-bound stage (cells/cores rows per task).
+    reps = reps.repartition(
+        images.sparkSession.sparkContext.defaultParallelism)
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
