@@ -166,6 +166,41 @@ def test_rewrite_files_selective_and_compacting(spark, tmp_path):
     assert sid == t.current_snapshot_id()
 
 
+def test_rewrite_files_partitioned_table(spark, tmp_path):
+    """Compaction on a partitioned table: hive partition values survive
+    the rewrite, partition pruning still works, rows identical."""
+    pts = _points(spark).withColumn(
+        "part", (F.col("pid") % 4).cast("string"))
+    t = SnapshotLogTable(spark, str(tmp_path / "prw"),
+                         partition_col="part", sort_cols=["x"])
+    t.overwrite(pts)
+    for s in (11, 12):
+        t.append(_points(spark, n=128, seed=s).withColumn(
+            "part", (F.col("pid") % 4).cast("string")))
+    n_before = len(t.plan_files())
+    t.rewrite_files()
+    assert len(t.plan_files()) < n_before
+    assert t.snapshots()[-1]["operation"] == "replace"
+    rep = skipping_report(t, [("part", "=", "1")])
+    assert rep["files_read"] < rep["files_total"]
+    want = _checksum(pts.unionByName(
+        _points(spark, n=128, seed=11).withColumn(
+            "part", (F.col("pid") % 4).cast("string"))).unionByName(
+        _points(spark, n=128, seed=12).withColumn(
+            "part", (F.col("pid") % 4).cast("string"))))
+    assert _checksum(t.read().select("pid", "x", "y")) == want
+    got1 = _checksum(t.read(where=[("part", "=", "1")])
+                     .select("pid", "x", "y"))
+    want1 = _checksum(pts.filter(F.col("part") == "1").unionByName(
+        _points(spark, n=128, seed=11).withColumn(
+            "part", (F.col("pid") % 4).cast("string"))
+        .filter(F.col("part") == "1")).unionByName(
+        _points(spark, n=128, seed=12).withColumn(
+            "part", (F.col("pid") % 4).cast("string"))
+        .filter(F.col("part") == "1")))
+    assert got1 == want1
+
+
 def test_sort_order_with_partition_col(spark, tmp_path):
     pts = _points(spark).withColumn(
         "part", (F.col("pid") % 4).cast("string"))
