@@ -179,15 +179,25 @@ def pyramid_update(old_pyramid: DataFrame, images: DataFrame,
     cell = C.cell_of_xy(phash_x(F.col("phash")), phash_y(F.col("phash")),
                         res)
     dirty = (changed.select(cell.alias("cell")).distinct()).cache()
+    # broadcast the dirty set only while it is broadcast-sized — the
+    # live_index tombstone lesson (operators/index_maintain.py): a
+    # metadata-sized set usually, but a churn-everything changelog at a
+    # fine res could exceed the broadcast limit, so fall back to
+    # shuffled semi/anti joins past the threshold (identical results)
+    _DIRTY_BCAST_MAX = 5_000_000
+    n_dirty = dirty.count()  # dirty is cached; reused at every level
+
+    def _hint(df):
+        return F.broadcast(df) if n_dirty <= _DIRTY_BCAST_MAX else df
 
     level_new = base_tiles(
-        images.join(F.broadcast(dirty.withColumnRenamed("cell", "_dirty")),
+        images.join(_hint(dirty.withColumnRenamed("cell", "_dirty")),
                     cell == F.col("_dirty"), "left_semi"),
         res, tile_px).cache()
     def _patched(r, level_new, dirty):
         return (old_pyramid.filter(F.col("res") == r)
                 .select("cell", "px", "n_src")
-                .join(F.broadcast(dirty), "cell", "left_anti")
+                .join(_hint(dirty), "cell", "left_anti")
                 .unionByName(level_new)).cache()
 
     cur = _patched(res, level_new, dirty)
@@ -197,7 +207,7 @@ def pyramid_update(old_pyramid: DataFrame, images: DataFrame,
         dirty = dirty.select(
             cell_parent_expr(F.col("cell")).alias("cell")).distinct().cache()
         siblings = cur.join(
-            F.broadcast(dirty),
+            _hint(dirty),
             cell_parent_expr(cur["cell"]) == dirty["cell"], "left_semi")
         level_new = rollup_level(siblings, tile_px).cache()
         cur = _patched(r, level_new, dirty)
