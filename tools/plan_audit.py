@@ -316,6 +316,28 @@ def main() -> None:
               "with <=4 rows per group — skew-immune by construction.",
     ))
 
+    # 13) vector tile pipeline: simplify → clip is two chained Arrow
+    # stages with NO exchange anywhere (embarrassingly parallel)
+    from egp_crn_spark.operators.generalize import simplify_lines
+    from egp_crn_spark.operators.vectortiles import vector_tiles
+
+    vt_arcs = spark.createDataFrame(
+        [(i, [[float(j * 50 + i), float((j * 37) % 500)]
+              for j in range(8)]) for i in range(64)],
+        "arc_id long, vertices array<array<double>>")
+    audits.append(audit(
+        "vector tiles (simplify -> per-cell clip)",
+        vector_tiles(simplify_lines(vt_arcs, 2.0), res=6),
+        wants=[("Arrow-batched kernels", r"MapInPandas")],
+        forbids=[("any exchange", r"Exchange"),
+                 ("any join", r"Join"),
+                 ("per-row Python UDF", r"BatchEvalPython")],
+        notes="The whole vector-tile pipeline is map-only: DP "
+              "generalization and per-segment cell clip run as chained "
+              "mapInPandas stages over the same scan — zero shuffles, "
+              "zero joins, so it scales with input splits alone.",
+    ))
+
     all_ok = all(a["ok"] for a in audits)
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     with open(out, "w") as f:
