@@ -167,6 +167,48 @@ def test_pyramid_maintained_across_catalog_vintages(spark, images,
     check()
 
 
+def test_pyramid_maintained_over_streaming_ingest(spark, images,
+                                                  tmp_path):
+    """Continuously-maintained map stack: imagery arrives through the
+    exactly-once streaming catalog ingest (one atomic commit per
+    micro-batch), and the pyramid advances per committed snapshot from
+    the catalog's own changelog — equal to a from-scratch build of the
+    final table."""
+    from egp_crn_spark.operators.pyramid import pyramid_update
+    from egp_crn_spark.sources.snaplog import SnapshotLogTable
+    from egp_crn_spark.streaming import catalog_ingest_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = SnapshotLogTable(spark, str(tmp_path / "tbl"))
+    pdf = images.select("image_id", "phash", "bytes").toPandas()
+    stream = spark.readStream.schema(
+        "image_id string, phash long, bytes binary").parquet(str(src))
+    q = (catalog_ingest_stream(stream, t, lambda d: d,
+                               str(tmp_path / "ck")).start())
+    sids = []
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        pdf.iloc[i * step:(i + 1) * step].to_parquet(
+            src / f"b{i}.parquet", index=False)
+        q.processAllAvailable()
+        sids.append(t.current_snapshot_id())
+    q.stop()
+    assert len(set(sids)) == 3
+
+    pyr = build_pyramid(t.read(sids[0]), RES, MIN_RES, PX)
+    for a, b in zip(sids, sids[1:]):
+        pyr = pyramid_update(pyr, t.read(b), t.changelog(a, b),
+                             RES, MIN_RES, PX)
+    want = build_pyramid(t.read(sids[-1]), RES, MIN_RES, PX).toPandas()
+    got = pyr.toPandas()
+    wm = {(int(r["res"]), int(r["cell"])): (bytes(r["px"]), int(r["n_src"]))
+          for _, r in want.iterrows()}
+    gm = {(int(r["res"]), int(r["cell"])): (bytes(r["px"]), int(r["n_src"]))
+          for _, r in got.iterrows()}
+    assert gm == wm
+
+
 def test_pyramid_serving_pruned_reads(spark, images, tmp_path):
     """Serving composition: the pyramid lands in a snaplog table
     partitioned by res and cell-sorted, so a map client fetching one
