@@ -95,3 +95,18 @@ def test_res_for_radius():
 def test_cells_covering_bbox():
     got = cells.cells_covering_bbox(0.0, 0.0, cells.cell_size(4) * 1.5, cells.cell_size(4) * 0.5, 4)
     assert len(got) == 2  # two cells in x, one in y
+
+
+def test_morton_decode_roundtrip():
+    """cell_to_ixy_np inverts cell_encode_np at every resolution tier
+    (the vector-tile clip derives tile boxes from cell ids with it)."""
+    import numpy as np
+
+    ix = np.arange(0, 65536, 97, dtype=np.int64)
+    iy = (ix * 7919) % 65536
+    for res in (0, 4, 10, 16):
+        n = 1 << res
+        a, b = ix % n, iy % n
+        enc = cells.cell_encode_np(a, b, res)
+        ra, rb = cells.cell_to_ixy_np(enc)
+        assert (ra == a).all() and (rb == b).all()
