@@ -243,7 +243,11 @@ def q_distance_join(spark, sf_dir):
         key_x(F.col("event_id")).alias("rx"),
         key_y(F.col("event_id")).alias("ry"),
     )
-    return SJ.distance_join(left, right, _DJ_RADIUS).select("l_id", "r_id")
+    # right side is bounded by the events table (dimension-sized at
+    # driver scales): the broadcast-grid kernel replaces the 9x k-ring
+    # explode + equi-join with one map stage (r9, guide §4.2)
+    return SJ.distance_join(left, right, _DJ_RADIUS,
+                            broadcast_right=True).select("l_id", "r_id")
 
 
 SQL_DISTANCE_JOIN = f"""

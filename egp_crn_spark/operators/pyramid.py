@@ -89,27 +89,77 @@ def rollup_level(tiles: DataFrame, tile_px: int = 16) -> DataFrame:
     every child quadrant stride-2 subsampled into place (missing
     children stay zero — transparent fill). Morton bit 0 of the child
     cell is the x quadrant, bit 1 the y quadrant (functions/cells.py
-    interleave order). n_src sums over the subtree."""
-    half = tile_px // 2
+    interleave order). n_src sums over the subtree.
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
-        for cell, px in zip(pdf["cell"], pdf["px"]):
-            arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
-                tile_px, tile_px, 3)
-            qx, qy = int(cell) & 1, (int(cell) >> 1) & 1
-            canvas[qy * half:(qy + 1) * half,
-                   qx * half:(qx + 1) * half] = arr[::2, ::2]
-        return pd.DataFrame({
-            "cell": [int(pdf["parent"].iloc[0])],
-            "px": [canvas.tobytes()],
-            "n_src": [int(pdf["n_src"].sum())],
-        })
+    Shape (r9, guide §4.2): hash-repartition by parent + local sort,
+    then ONE vectorized numpy pass per Arrow batch — the former
+    groupBy(parent).applyInPandas dispatched a pandas DataFrame per
+    ≤4-row group, and at fine resolutions that per-group constant
+    dominated the level (the whole 87k-tile sandbox pyramid is a few MB
+    of pixels). Same shuffle (hash on parent), same bytes, zero
+    per-group dispatch. A parent's children are contiguous after the
+    sort; the kernel holds back the trailing parent of each batch so a
+    group split across Arrow batches is mosaicked exactly once."""
+    half = tile_px // 2
+    n_px = tile_px * tile_px * 3
+
+    def fold_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def mosaic(parents: np.ndarray, cells: np.ndarray,
+                   px_join: bytes, n_src: np.ndarray) -> pd.DataFrame:
+            buf = np.frombuffer(px_join, dtype=np.uint8).reshape(
+                -1, tile_px, tile_px, 3)
+            sub = buf[:, ::2, ::2, :]
+            pids, counts = np.unique(parents, return_counts=True)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            gidx = np.repeat(np.arange(len(pids)), counts)
+            canvas = np.zeros((len(pids), tile_px, tile_px, 3),
+                              dtype=np.uint8)
+            qx = (cells & 1).astype(np.intp)
+            qy = ((cells >> 1) & 1).astype(np.intp)
+            r = np.arange(half)
+            canvas[gidx[:, None, None],
+                   (qy * half)[:, None, None] + r[None, :, None],
+                   (qx * half)[:, None, None] + r[None, None, :]] = sub
+            nsrc = np.add.reduceat(n_src, starts)
+            return pd.DataFrame({
+                "cell": pids,
+                "px": [c.tobytes() for c in canvas],
+                "n_src": nsrc,
+            })
+
+        pend: pd.DataFrame | None = None
+        for pdf in it:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            parents = pdf["parent"].to_numpy(dtype=np.int64)
+            # rows arrive sorted by parent: hold back the trailing
+            # parent group — it may continue in the next batch
+            cut = int(np.searchsorted(parents, parents[-1], side="left"))
+            if cut == 0:
+                pend = pdf
+                continue
+            pend = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            yield mosaic(
+                parents[:cut], head["cell"].to_numpy(dtype=np.int64),
+                b"".join(bytes(b) for b in head["px"]),
+                head["n_src"].to_numpy(dtype=np.int64))
+        if pend is not None and len(pend):
+            yield mosaic(
+                pend["parent"].to_numpy(dtype=np.int64),
+                pend["cell"].to_numpy(dtype=np.int64),
+                b"".join(bytes(b) for b in pend["px"]),
+                pend["n_src"].to_numpy(dtype=np.int64))
 
     return (
         tiles.withColumn("parent", cell_parent_expr(F.col("cell")))
-        .groupBy("parent")
-        .applyInPandas(fold, schema=_TILE_SCHEMA)
+        .select("parent", "cell", "px", "n_src")
+        .repartition("parent")
+        .sortWithinPartitions("parent", "cell")
+        .mapInPandas(fold_batches, schema=_TILE_SCHEMA)
     )
 
 

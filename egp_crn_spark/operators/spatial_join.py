@@ -134,14 +134,146 @@ def rect_intersects_join(
 
 
 # ---------------------------------------------------------------------------
-# point x point distance-join and kNN (pure Column end to end)
+# point x point distance-join and kNN
 # ---------------------------------------------------------------------------
+def _grid_distance_kernel(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    topk_per_row: int | None = None,
+) -> DataFrame:
+    """Broadcast-grid distance join (guide §4.2, §8): the right side is
+    DIMENSION-SIZED (the broadcast_right contract — the reference's
+    STRtree held the full right table per process), so instead of
+    exploding the left side 9x into a cell equi-join, collect the right
+    points ONCE, bucket them into a uniform grid of cell edge
+    ``radius``, and stream the left side through a single mapInPandas
+    stage that gathers each batch's 3x3 neighborhoods with CSR index
+    arithmetic — all numpy, no join, no shuffle, no explode.
+
+    Exactness: identical float64 arithmetic to the Column path
+    (dist = sqrt((lx-rx)*(lx-rx) + (ly-ry)*(ly-ry)), filter dist <=
+    radius), and a grid edge of ``radius`` makes the 3x3 neighborhood a
+    guaranteed cover of the radius (any |dx| <= radius spans at most one
+    cell index). Output schema/list parity with the join path:
+    [left cols..., right cols..., dist].
+
+    ``topk_per_row``: emit only each LEFT ROW's top-k candidates by
+    (dist asc, r_id asc) — a superset of any per-l_id global top-k
+    (knn_join pre-reduction; the caller still aggregates/ranks)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    sc = left.sparkSession.sparkContext
+    rpdf = right.toPandas()
+    r_fields = right.schema.fields
+    rx = rpdf["rx"].to_numpy(dtype=np.float64)
+    ry = rpdf["ry"].to_numpy(dtype=np.float64)
+    fin = np.isfinite(rx) & np.isfinite(ry)
+    if not fin.all():
+        rpdf, rx, ry = rpdf.loc[fin], rx[fin], ry[fin]
+    s = float(radius)
+    _SH = np.int64(1) << np.int64(32)
+    rix = np.floor(rx / s).astype(np.int64)
+    riy = np.floor(ry / s).astype(np.int64)
+    rkey = rix * _SH + riy
+    order = np.argsort(rkey, kind="stable")
+    rs = rpdf.iloc[order].reset_index(drop=True)
+    uniq, starts, counts = np.unique(rkey[order], return_index=True,
+                                     return_counts=True)
+    bc = sc.broadcast({
+        "rs": rs, "rx": rx[order], "ry": ry[order],
+        "uniq": uniq, "starts": starts, "counts": counts,
+        "rid": (rs["r_id"].to_numpy()
+                if topk_per_row is not None else None),
+    })
+
+    # single-file left scans arrive as 1-2 partitions and would run the
+    # kernel single-threaded — spread them (same discipline as every
+    # CPU-bound map stage; no-op when the scan is already parallel)
+    from .dedup import _ensure_parallelism
+
+    left = _ensure_parallelism(left)
+    l_fields = left.schema.fields
+    out_schema = StructType(list(l_fields) + list(r_fields)
+                            + [StructField("dist", DoubleType(), True)])
+    l_names = [f.name for f in l_fields]
+    r_names = [f.name for f in r_fields]
+    k = topk_per_row
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = bc.value
+        uniq, starts, counts = g["uniq"], g["starts"], g["counts"]
+        rxs, rys, rs, rid = g["rx"], g["ry"], g["rs"], g["rid"]
+        nu = len(uniq)
+        for pdf in it:
+            if not len(pdf) or not nu:
+                continue
+            lx = pdf["lx"].to_numpy(dtype=np.float64)
+            ly = pdf["ly"].to_numpy(dtype=np.float64)
+            ok_l = np.isfinite(lx) & np.isfinite(ly)
+            if not ok_l.all():
+                pdf = pdf.loc[ok_l].reset_index(drop=True)
+                if not len(pdf):
+                    continue
+                lx, ly = lx[ok_l], ly[ok_l]
+            nb = len(pdf)
+            lix = np.floor(lx / s).astype(np.int64)
+            liy = np.floor(ly / s).astype(np.int64)
+            lis, ris, ds = [], [], []
+            for dxo in (-1, 0, 1):
+                for dyo in (-1, 0, 1):
+                    key = (lix + dxo) * _SH + (liy + dyo)
+                    pos = np.searchsorted(uniq, key)
+                    posc = np.minimum(pos, nu - 1)
+                    cnt = np.where(uniq[posc] == key, counts[posc], 0)
+                    total = int(cnt.sum())
+                    if not total:
+                        continue
+                    li = np.repeat(np.arange(nb), cnt)
+                    offs = np.arange(total) - np.repeat(
+                        np.cumsum(cnt) - cnt, cnt)
+                    ri = np.repeat(starts[posc], cnt) + offs
+                    dxv = lx[li] - rxs[ri]
+                    dyv = ly[li] - rys[ri]
+                    d = np.sqrt(dxv * dxv + dyv * dyv)
+                    m = d <= s
+                    if m.any():
+                        lis.append(li[m])
+                        ris.append(ri[m])
+                        ds.append(d[m])
+            if not lis:
+                continue
+            li = np.concatenate(lis)
+            ri = np.concatenate(ris)
+            d = np.concatenate(ds)
+            if k is not None and len(li):
+                # per-left-row top-k by (dist, r_id): sort groups once,
+                # rank by offset-from-group-start
+                idx = np.lexsort((rid[ri], d, li))
+                li, ri, d = li[idx], ri[idx], d[idx]
+                gstart = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(li)) + 1))
+                glen = np.diff(np.concatenate((gstart, [len(li)])))
+                rank = np.arange(len(li)) - np.repeat(gstart, glen)
+                keep = rank < k
+                li, ri, d = li[keep], ri[keep], d[keep]
+            out = pd.concat(
+                [pdf.iloc[li][l_names].reset_index(drop=True),
+                 rs.iloc[ri][r_names].reset_index(drop=True)],
+                axis=1)
+            out["dist"] = d
+            yield out
+
+    return left.mapInPandas(gen, schema=out_schema)
+
+
 def distance_join(
     left: DataFrame,
     right: DataFrame,
     radius: float,
     res: int | None = None,
     broadcast_right: bool = False,
+    _topk_per_row: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with euclidean distance <= radius.
 
@@ -150,13 +282,19 @@ def distance_join(
     does the exact test. Reference parity: buffer(r)+intersects probes
     (helpers.py:375-383, validate_topology.py:190-197) — buffer-intersects
     point ≡ distance<=r, no polygon buffer materialized.
-    """
+
+    ``broadcast_right=True`` (the dimension-side contract) runs the
+    broadcast-grid kernel instead of the cell equi-join: the right side
+    is collected and grid-bucketed once, the left side streams through
+    one mapInPandas stage — zero exchanges, zero explode (r9; see
+    _grid_distance_kernel). Same rows, same float64 dist."""
+    if broadcast_right:
+        return _grid_distance_kernel(left, right, radius,
+                                     topk_per_row=_topk_per_row)
     res = res if res is not None else C.res_for_radius(radius)
     lix, liy = C.xy_to_ixy(F.col("lx"), F.col("ly"), res)
     lc = left.withColumn("_cell", F.explode(C.kring_cells(lix, liy, res, 1)))
     rc = right.withColumn("_cell", C.cell_of_xy(F.col("rx"), F.col("ry"), res))
-    if broadcast_right:
-        rc = F.broadcast(rc)
     dist = F.sqrt(
         (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
         + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
@@ -190,8 +328,13 @@ def knn_join(
     """
     if not np.isfinite(max_distance):
         raise ValueError("knn_join requires a finite max_distance (cell prefilter bound)")
+    # broadcast_right → the grid kernel pre-reduces to each left ROW's
+    # top-k candidates inside the map stage (a superset of any per-l_id
+    # global top-k), so the aggregation/window below sees at most k rows
+    # per input row instead of every k-ring candidate
     cand = distance_join(left, right, max_distance, res=res,
-                         broadcast_right=broadcast_right)
+                         broadcast_right=broadcast_right,
+                         _topk_per_row=k if broadcast_right else None)
     if k == 1:
         # nearest-neighbour (the reference's semantics and the hot path):
         # a min_by AGGREGATION, not a window. HashAggregate combines

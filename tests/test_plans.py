@@ -40,17 +40,24 @@ def test_cell_assignment_prunes_and_stays_jvm(spark):
 
 
 def test_distance_join_no_shuffle_when_broadcast(spark):
+    # r9: the broadcast_right path is the grid KERNEL — one mapInPandas
+    # stage over the left side, no join, no k-ring explode, and no
+    # keyed shuffle (only a round-robin spread of a single-file scan)
     df = _plan(spark, "distance_join")
     assert plans.count_exchanges(df) == 0
-    assert plans.has_broadcast_join(df)
-    assert not plans.has_python_eval(df)
+    assert plans.has_python_eval(df), "grid kernel must be the map stage"
+    p = plans.physical_plan(df)
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
 def test_knn_single_shuffle(spark):
+    # r9 kernel shape: grid map stage emits per-row top-k candidates;
+    # the only keyed shuffle left is the min_by combine on l_id
     df = _plan(spark, "knn_nearest")
-    # only the window rank needs a shuffle; candidates broadcast
     assert plans.count_exchanges(df) <= 1
-    assert not plans.has_python_eval(df)
+    assert plans.has_python_eval(df), "grid kernel must be the map stage"
+    p = plans.physical_plan(df)
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
 def test_ivf_probe_broadcasts_queries_never_shuffles_index(spark):

@@ -166,3 +166,52 @@ def test_point_in_polygon_join_with_boundaries(spark, fixtures_dir):
                 break
     got_map = dict(zip(got.p_id, got.poly_id))
     assert got_map == want
+
+
+def test_grid_kernel_matches_join_path(spark, rng):
+    """r9 broadcast-grid kernel == the cell equi-join path, bit-exact:
+    same pair set, same float64 dist, same column order — for the plain
+    radius join AND the knn pre-reduced form (k=1 and k>1)."""
+    n_l, n_r = 800, 1200
+    left = _points(rng, n_l, "l_id", "lx", "ly")
+    right = _points(rng, n_r, "r_id", "rx", "ry")
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for radius in (400.0, 3000.0):
+        a = (SJ.distance_join(ldf, rdf, radius)
+             .toPandas().sort_values(["l_id", "r_id"]).reset_index(drop=True))
+        b = (SJ.distance_join(ldf, rdf, radius, broadcast_right=True)
+             .toPandas().sort_values(["l_id", "r_id"]).reset_index(drop=True))
+        assert a.columns.tolist() == b.columns.tolist()
+        assert len(a) == len(b)
+        for c in a.columns:
+            assert (a[c].values == b[c].values).all(), c
+    for k in (1, 3):
+        a = (SJ.knn_join(ldf, rdf, k=k, max_distance=2500.0)
+             .toPandas().sort_values(["l_id", "knn_rank"]).reset_index(drop=True))
+        b = (SJ.knn_join(ldf, rdf, k=k, max_distance=2500.0,
+                         broadcast_right=True)
+             .toPandas().sort_values(["l_id", "knn_rank"]).reset_index(drop=True))
+        assert a.columns.tolist() == b.columns.tolist()
+        assert len(a) == len(b)
+        for c in a.columns:
+            assert (a[c].values == b[c].values).all(), c
+
+
+def test_grid_kernel_null_coords_and_empty_right(spark, rng):
+    """Null/NaN coordinates drop (join-path parity: a null cell never
+    matches); an empty right side yields an empty result, not an error."""
+    left = _points(rng, 50, "l_id", "lx", "ly")
+    left.loc[0, "lx"] = np.nan
+    right = _points(rng, 50, "r_id", "rx", "ry")
+    right.loc[1, "ry"] = np.nan
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    a = (SJ.distance_join(ldf, rdf, 5000.0)
+         .toPandas().sort_values(["l_id", "r_id"]).reset_index(drop=True))
+    b = (SJ.distance_join(ldf, rdf, 5000.0, broadcast_right=True)
+         .toPandas().sort_values(["l_id", "r_id"]).reset_index(drop=True))
+    assert len(a) == len(b)
+    assert (a["l_id"].values == b["l_id"].values).all()
+    empty = SJ.distance_join(
+        ldf, spark.createDataFrame(right).filter(F.col("r_id") < 0),
+        1000.0, broadcast_right=True)
+    assert empty.count() == 0
