@@ -466,6 +466,7 @@ def q_zorder_pruned_read(spark, sf_dir):
     returned rows must still be EXACTLY the full filter, which the
     oracle computes straight from events."""
     import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -480,7 +481,7 @@ def q_zorder_pruned_read(spark, sf_dir):
         key_y(F.col("event_id")).alias("y"),
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/egp_zorder_{tag}"
+    path = f"{tempfile.gettempdir()}/egp_zorder_{tag}_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     t = SnapshotLogTable(spark, path)
     t.overwrite(zorder_cluster(ev, "x", "y", num_files=16))
@@ -488,7 +489,7 @@ def q_zorder_pruned_read(spark, sf_dir):
     where = [("x", ">=", x0), ("x", "<=", x1),
              ("y", ">=", y0), ("y", "<=", y1)]
     rep = skipping_report(t, where)
-    assert rep["files_total"] == 16
+    assert rep["files_total"] <= 16  # range partitions can come up empty
     assert rep["files_read"] < rep["files_total"]  # the skipping proof
     return t.read(where=where).select("event_id", "x", "y")
 
@@ -512,6 +513,7 @@ def q_rewrite_compact(spark, sf_dir):
     the pre-rewrite files; the returned (pruned) read must equal the
     oracle's direct filter."""
     import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -525,7 +527,7 @@ def q_rewrite_compact(spark, sf_dir):
         key_y(F.col("event_id")).alias("y"),
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/egp_rewrite_{tag}"
+    path = f"{tempfile.gettempdir()}/egp_rewrite_{tag}_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     t0 = SnapshotLogTable(spark, path)
     v1 = t0.overwrite(ev.repartition(16, "event_id"))
@@ -535,7 +537,7 @@ def q_rewrite_compact(spark, sf_dir):
     t = SnapshotLogTable(spark, path, sort_cols=["x"])
     sid = t.rewrite_files(num_files=8)
     rep = skipping_report(t, where)
-    assert rep["files_total"] == 8 and rep["files_read"] < 8
+    assert rep["files_total"] <= 8 and rep["files_read"] < rep["files_total"]
     assert t.snapshots()[-1]["operation"] == "replace"
     assert t.read(v1).count() == t.read(sid).count()  # no logical change
     return t.read(where=where).select("event_id", "x", "y")
@@ -602,6 +604,13 @@ def q_simplify_arcs(spark, sf_dir):
                 ok = (kept[0] == orig[0]).all() \
                     and (kept[-1] == orig[-1]).all() \
                     and bool((dev <= tol + 1e-9).all())
+                if not ok:
+                    # rows-only driver check: an unchecked False would
+                    # pass the harness silently — fail the run instead
+                    # (ADVICE r8 #1)
+                    raise AssertionError(
+                        f"DP guarantee violated for arc {int(aid)}: "
+                        f"max dev {float(dev.max())!r} vs tol {tol!r}")
                 rows.append((int(aid), len(orig), len(kept), bool(ok)))
             yield pd.DataFrame(rows, columns=["arc_id", "n_in", "n_out",
                                               "ok"])

@@ -121,7 +121,12 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     into flat, codegen-friendly projections; the groupBy(id) min is one
     shuffle on the id.
     """
-    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_g"))
+    # distinct per doc BEFORE hashing: duplicate shingles cannot change
+    # a min, and each duplicate costs num_hashes hash evaluations (8 md5
+    # calls in oracle mode) — guide §2.3, don't compute what you throw
+    # away. Result-identical by min() idempotence.
+    ex = df.select(F.col(id_col),
+                   F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("_g"))
     if use_md5:
         hashes = [F.md5(F.concat(F.lit(f"h{h}|"), F.col("_g"))).alias(f"_h{h}")
                   for h in range(num_hashes)]
@@ -191,6 +196,12 @@ def exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str, id_col: str,
     over hashed sets equals Jaccard over the sets themselves up to
     64-bit collisions (~|shingles|^2 / 2^64 — negligible against the
     banding's own false-negative rate)."""
+    # NOTE (r9): computing the arrays per CORPUS row and joining them to
+    # the pairs is deliberate — the candidate set is usually LARGER than
+    # the corpus (every bucket of size c contributes c² candidates), so
+    # a join-text-first shape that shingles per candidate row measured
+    # 2x SLOWER at sf1.0 (and the post-join jaccard filter duplicates
+    # any expression it references, multiplying the per-candidate cost).
     sh = df.select(F.col(id_col), F.array_distinct(
         F.transform(shingles(F.col(text_col), k),
                     lambda s: F.xxhash64(s))).alias("sh"))
@@ -462,20 +473,36 @@ def hamming_near_pairs(sig: DataFrame, sig_col: str, id_col: str,
             ])
         ).alias("bb"),
     ).select(id_col, "sh", "bb.band", "bb.bucket")
-    banded = _cap_hot_window(banded, ["band", "bucket"], max_bucket)
-    a = banded.select(F.col(id_col).alias("a_id"), F.col("sh").alias("sha"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("b_id"), F.col("sh").alias("shb"), "band", "bucket")
-    # hamming is computed and thresholded INSIDE the join stage (fused into
-    # the same codegen span), so the dedup distinct shuffles only
-    # (a_id, b_id, hamming) — carrying sha/shb through the distinct would
-    # widen the exchange with columns functionally determined by the ids,
-    # and deferring the threshold would shuffle candidates that can never
-    # survive it.
-    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    # r9 shape: ONE sort-aggregation generates the within-bucket pairs
+    # (collect the bucket's members, slice-explode i<j index pairs)
+    # instead of the former window-cap + SHUFFLE_HASH self-join. The
+    # self-join form evaluated the windowed cap subtree TWICE (exchange
+    # reuse shares the shuffle, not the window sort above it), built a
+    # 3|corpus|-row hash relation, and probed c^2 ordered pairs per
+    # bucket where only c(c-1)/2 are distinct — the agg form sorts the
+    # banded set once, caps by size(ms) (identical keep-set: rows of
+    # buckets at or under max_bucket), and emits each unordered pair
+    # exactly once. Hamming is computed and thresholded inside the same
+    # stage, so the dedup distinct still shuffles only
+    # (a_id, b_id, hamming). Measured 1.15x at sf1.0 (5M images) with
+    # lower spread (no second window pass to straggle).
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col), F.col("sh"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    p = (
+        grouped.select(F.posexplode("ms").alias("_i", "_a"), "ms")
+        .select("_a", F.explode(
+            F.slice(F.col("ms"), F.col("_i") + 2,
+                    F.size("ms") - F.col("_i") - 1)).alias("_b"))
+    )
+    ham = F.bit_count(F.col("_a.sh").bitwiseXOR(F.col("_b.sh")))
     return (
-        a.join(b.hint("SHUFFLE_HASH"), ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", ham.alias("hamming"))
+        p.select(
+            F.least(f"_a.{id_col}", f"_b.{id_col}").alias("a_id"),
+            F.greatest(f"_a.{id_col}", f"_b.{id_col}").alias("b_id"),
+            ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -82,8 +82,8 @@ _TOMB_BROADCAST_MAX = 4_000_000
 
 def live_index(index: DataFrame, tombstones: DataFrame,
                broadcast_tombstones: bool | None = None,
-               tombstone_broadcast_max: int = _TOMB_BROADCAST_MAX
-               ) -> DataFrame:
+               tombstone_broadcast_max: int = _TOMB_BROADCAST_MAX,
+               n_tombstones: int | None = None) -> DataFrame:
     """Serving view of a maintained index: rows not killed by a
     tombstone. One tombstone per id (max _ts) left-joins the index.
 
@@ -99,10 +99,18 @@ def live_index(index: DataFrame, tombstones: DataFrame,
     neither the planner nor AQE re-broadcasts a side we just measured
     as oversized), and the size itself is the "compact me" signal
     (surfaced next to cell_balance via tombstone_backlog). Pass
-    True/False to force either path."""
+    True/False to force either path.
+
+    ``n_tombstones`` (ADVICE r8 #3): maintenance loops that already ran
+    tombstone_backlog() can pass its ``ids`` figure to keep this call
+    fully lazy — the default ``broadcast_tombstones=None`` otherwise
+    runs one eager count job at DataFrame-construction time (and the
+    tombstone aggregate lineage is then computed again in the join)."""
     t = tombstones.groupBy("n_id").agg(F.max(TOMB_TS).alias(TOMB_TS))
     if broadcast_tombstones is None:
-        broadcast_tombstones = t.count() <= tombstone_broadcast_max
+        if n_tombstones is None:
+            n_tombstones = t.count()
+        broadcast_tombstones = n_tombstones <= tombstone_broadcast_max
     if broadcast_tombstones:
         t = F.broadcast(t)
     else:

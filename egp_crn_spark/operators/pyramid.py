@@ -164,7 +164,7 @@ def rollup_level(tiles: DataFrame, tile_px: int = 16) -> DataFrame:
 
 
 def build_pyramid(images: DataFrame, res: int, min_res: int,
-                  tile_px: int = 16) -> DataFrame:
+                  tile_px: int = 16, persist: bool = True) -> DataFrame:
     """Full pyramid: levels ``res`` down to ``min_res`` inclusive,
     tagged with a ``res`` column. ``res - min_res`` rollup passes, each
     reading only the level above it."""
@@ -173,18 +173,23 @@ def build_pyramid(images: DataFrame, res: int, min_res: int,
     # each level is cached before the union: union branches re-execute
     # shared lineage otherwise, which would recompute the base decode
     # once PER LEVEL (at real scale each level lands in the catalog as
-    # it is built, which serves the same purpose)
-    level = base_tiles(images, res, tile_px).cache()
+    # it is built, which serves the same purpose). ``persist=False``
+    # (ADVICE r8 #4) lets callers in long-lived maintenance loops manage
+    # materialization themselves instead of accumulating cached levels
+    # this function never unpersists.
+    _p = (lambda df: df.cache()) if persist else (lambda df: df)
+    level = _p(base_tiles(images, res, tile_px))
     out = level.withColumn("res", F.lit(res))
     for r in range(res - 1, min_res - 1, -1):
-        level = rollup_level(level, tile_px).cache()
+        level = _p(rollup_level(level, tile_px))
         out = out.unionByName(level.withColumn("res", F.lit(r)))
     return out.select("res", "cell", "px", "n_src")
 
 
 def pyramid_update(old_pyramid: DataFrame, images: DataFrame,
                    changed: DataFrame, res: int, min_res: int,
-                   tile_px: int = 16, emit: str = "full") -> DataFrame:
+                   tile_px: int = 16, emit: str = "full",
+                   persist: bool = True) -> DataFrame:
     """Incremental pyramid maintenance: re-roll ONLY the dirty subtrees.
 
     ``old_pyramid`` is a prior ``build_pyramid`` output (levels ``res``
@@ -226,9 +231,10 @@ def pyramid_update(old_pyramid: DataFrame, images: DataFrame,
     boundary)."""
     if emit not in ("full", "delta"):
         raise ValueError("emit must be 'full' or 'delta'")
+    _p = (lambda df: df.cache()) if persist else (lambda df: df)
     cell = C.cell_of_xy(phash_x(F.col("phash")), phash_y(F.col("phash")),
                         res)
-    dirty = (changed.select(cell.alias("cell")).distinct()).cache()
+    dirty = _p(changed.select(cell.alias("cell")).distinct())
     # broadcast the dirty set only while it is broadcast-sized — the
     # live_index tombstone lesson (operators/index_maintain.py): a
     # metadata-sized set usually, but a churn-everything changelog at a
@@ -240,26 +246,26 @@ def pyramid_update(old_pyramid: DataFrame, images: DataFrame,
     def _hint(df):
         return F.broadcast(df) if n_dirty <= _DIRTY_BCAST_MAX else df
 
-    level_new = base_tiles(
+    level_new = _p(base_tiles(
         images.join(_hint(dirty.withColumnRenamed("cell", "_dirty")),
                     cell == F.col("_dirty"), "left_semi"),
-        res, tile_px).cache()
+        res, tile_px))
     def _patched(r, level_new, dirty):
-        return (old_pyramid.filter(F.col("res") == r)
-                .select("cell", "px", "n_src")
-                .join(_hint(dirty), "cell", "left_anti")
-                .unionByName(level_new)).cache()
+        return _p(old_pyramid.filter(F.col("res") == r)
+                  .select("cell", "px", "n_src")
+                  .join(_hint(dirty), "cell", "left_anti")
+                  .unionByName(level_new))
 
     cur = _patched(res, level_new, dirty)
     out = (level_new if emit == "delta" else cur).withColumn(
         "res", F.lit(res))
     for r in range(res - 1, min_res - 1, -1):
-        dirty = dirty.select(
-            cell_parent_expr(F.col("cell")).alias("cell")).distinct().cache()
+        dirty = _p(dirty.select(
+            cell_parent_expr(F.col("cell")).alias("cell")).distinct())
         siblings = cur.join(
             _hint(dirty),
             cell_parent_expr(cur["cell"]) == dirty["cell"], "left_semi")
-        level_new = rollup_level(siblings, tile_px).cache()
+        level_new = _p(rollup_level(siblings, tile_px))
         cur = _patched(r, level_new, dirty)
         out = out.unionByName(
             (level_new if emit == "delta" else cur)

@@ -155,8 +155,8 @@ def test_enforce_suggested_snapping_roundtrip(spark):
 def test_driver_registry_fully_oracled():
     """Every registry entry must carry a DuckDB oracle — rows-only
     entries are permitted by the driver contract for non-SQL-expressible
-    ops, but this engine's policy is full value oracles everywhere (all
-    58 entries). The historical 50-entry cap was self-imposed (VERDICT
+    ops, but this engine's policy is full value oracles everywhere (every
+    entry except the documented simplify_arcs carve-out). The historical 50-entry cap was self-imposed (VERDICT
     r7 What's-wrong #2: 'the cap is builder-imposed, not a driver
     contract') and was lifted in round 8 so every r7 component gets a
     CORRECTNESS row; the round-3 'silently lost entries past 50' note

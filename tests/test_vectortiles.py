@@ -83,3 +83,82 @@ def test_vector_tiles_max_cover_guard(spark):
         "arc_id long, vertices array<array<double>>")
     with pytest.raises(Exception, match="max_cover"):
         vector_tiles(arcs, res=8, max_cover=100).count()
+
+
+def _reference_pieces(line, res):
+    """The r8 scalar kernel (per-segment assign + clip + stitch), kept
+    here as the parity oracle for the r9 vectorized kernel: cell id ->
+    list of pieces in path order."""
+    from egp_crn_spark.functions.cells import (cell_to_ixy_np,
+                                               cells_covering_bbox)
+    cs = cell_size(res)
+    done, open_p = {}, {}
+    for a, b in zip(line[:-1], line[1:]):
+        cover = cells_covering_bbox(
+            min(a[0], b[0]), min(a[1], b[1]),
+            max(a[0], b[0]), max(a[1], b[1]), res)
+        ix, iy = cell_to_ixy_np(cover)
+        interior = len(cover) == 1
+        for cell, cx, cy in zip(cover, ix, iy):
+            cell = int(cell)
+            if interior:
+                seg = np.array([a, b])
+                if (seg[0] == seg[1]).all():
+                    continue
+            else:
+                x0, y0 = cx * cs, cy * cs
+                clipped = clip_polyline_to_box(
+                    np.array([a, b]), x0, y0, x0 + cs, y0 + cs)
+                if not clipped:
+                    continue
+                seg = clipped[0]
+            cur = open_p.get(cell)
+            if cur is not None and (cur[-1] == seg[0]).all():
+                cur.append(seg[1])
+            else:
+                if cur is not None and len(cur) >= 2:
+                    done.setdefault(cell, []).append(np.asarray(cur))
+                open_p[cell] = [seg[0], seg[1]]
+    for cell, cur in open_p.items():
+        if len(cur) >= 2:
+            done.setdefault(cell, []).append(np.asarray(cur))
+    return done
+
+
+def test_vectorized_kernel_matches_scalar_reference(spark):
+    """r9 vectorized kernel == the r8 scalar stitcher, bit-exact:
+    same (arc, tile, part) keys, same piece vertices — on random arcs,
+    boundary-touching arcs, and out-of-domain arcs (clamped cover)."""
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(2, 40))
+        line = rng.uniform(-1000.0, 67000.0, (n, 2))  # spills off-domain
+        rows.append((i, [[float(x), float(y)] for x, y in line]))
+    # axis-aligned arc exactly on cell boundaries (exactness edge)
+    cs = cell_size(4)
+    rows.append((100, [[cs, cs / 2], [cs, 3 * cs], [2 * cs, 3 * cs]]))
+    # degenerate: repeated points, single vertex, null
+    rows.append((101, [[5.0, 5.0], [5.0, 5.0], [6.0, 6.0]]))
+    rows.append((102, [[7.0, 7.0]]))
+    rows.append((103, None))
+    arcs = spark.createDataFrame(
+        rows, "arc_id long, vertices array<array<double>>")
+    for res in (2, 4):
+        got = vector_tiles(arcs, res).toPandas()
+        got_map = {}
+        for _, r in got.iterrows():
+            got_map[(r["arc_id"], r["tile"], r["part"])] = np.asarray(
+                [[p[0], p[1]] for p in r["vertices"]])
+        want_map = {}
+        for aid, v in rows:
+            if v is None or len(v) < 2:
+                continue
+            line = np.asarray(v, dtype=np.float64)
+            for cell, pieces in _reference_pieces(line, res).items():
+                for k, piece in enumerate(pieces):
+                    want_map[(aid, cell, k)] = piece
+        assert set(got_map) == set(want_map), res
+        for key, want in want_map.items():
+            assert got_map[key].shape == want.shape, key
+            assert (got_map[key] == want).all(), key
