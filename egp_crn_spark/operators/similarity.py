@@ -370,80 +370,20 @@ def ivf_probe(
     # intermediate in the serving path to remove duplicates that cannot
     # exist. tests/test_pipeline_ops.py pins this uniqueness invariant so
     # a future multi-assignment index variant can't silently double-count.
+    # NOTE (r9, negative result kept for the record): a mapInArrow
+    # scoring kernel for the matmul branch (einsum per batch + partial
+    # top-k, the ivf_pq_probe shape) measured 2x SLOWER at sf0.1 and
+    # flat at sf1.0 — at serving candidate volumes the interpreted fold
+    # is cheaper than Arrow-round-tripping two 64-float arrays per
+    # candidate row, and the row's wall is scan-bound anyway. The JVM
+    # fold stays; it is also what keeps this path bit-identical to the
+    # DuckDB list_inner_product twin on the expr branch.
+    scored = probes.join(index, "cell").filter(F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / _safe_den(F.col("_qn") * F.col("_cn"))).alias("sim"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
-    if _use_expr(method, centroids):
-        # oracle-exact branch: JVM higher-order fold, bit-identical to
-        # the DuckDB list_inner_product twin
-        scored = probes.join(index, "cell").filter(F.col("q_id") != F.col("n_id")).select(
-            "q_id", "n_id",
-            (_dot(F.col("qv"), F.col("cv"))
-             / _safe_den(F.col("_qn") * F.col("_cn"))).alias("sim"),
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "n_id", "rank", "sim")
-        )
-    # scale branch (r9): the candidate scoring used a zip_with+aggregate
-    # fold per pair — higher-order functions run interpreted, so the
-    # ~|queries| x nprobe x |cell| candidate stream paid ~dim lambda
-    # evaluations per row. One vectorized einsum per Arrow batch scores
-    # the whole batch, and the kernel cuts each batch to its per-query
-    # top-(k+1) (the ivf_pq_probe pattern — any row outside its batch's
-    # own top-k+1 cannot reach the global top-k; +1 because the
-    # q_id != n_id self-filter runs downstream), so the rank window sees
-    # a bounded exchange instead of every candidate.
-    import pyarrow as pa
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    sel = probes.join(index, "cell").select("q_id", "qv", "_qn", "n_id",
-                                            "cv", "_cn")
-    schema = StructType([
-        sel.schema["q_id"], sel.schema["n_id"],
-        StructField("sim", DoubleType(), False),
-    ])
-    dim = centroids.shape[1]
-    cut = k + 1
-
-    def gen(batches):
-        for b in batches:
-            n = b.num_rows
-            if not n:
-                continue
-            qid = b.column(0).to_numpy(zero_copy_only=False)
-            Q = b.column(1).flatten().to_numpy(zero_copy_only=False) \
-                .reshape(n, dim)
-            qn = b.column(2).to_numpy(zero_copy_only=False)
-            X = b.column(4).flatten().to_numpy(zero_copy_only=False) \
-                .reshape(n, dim)
-            cn = b.column(5).to_numpy(zero_copy_only=False)
-            if Q.dtype != np.float64:
-                Q = Q.astype(np.float64)
-            if X.dtype != np.float64:
-                X = X.astype(np.float64)
-            sim = np.einsum("ij,ij->i", Q, X) / np.maximum(
-                qn * cn, 1e-300)
-            uq, uidx = np.unique(qid, return_inverse=True)
-            if len(sim) > cut and len(uq) * cut < len(sim):
-                order = np.lexsort((-sim, uidx))
-                su, ss = uidx[order], sim[order]
-                starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
-                ends = np.r_[starts[1:], len(su)]
-                grp = np.repeat(np.arange(len(starts)), ends - starts)
-                rank = np.arange(len(su)) - starts[grp]
-                thr = ss[np.minimum(starts + cut - 1, ends - 1)]
-                keep = np.sort(order[(rank < cut) | (ss >= thr[grp])])
-                idx = pa.array(keep)
-                qcol, ncol = b.column(0).take(idx), b.column(3).take(idx)
-                sim = sim[keep]
-            else:
-                qcol, ncol = b.column(0), b.column(3)
-            yield pa.RecordBatch.from_arrays(
-                [qcol, ncol, pa.array(sim, type=pa.float64())],
-                ["q_id", "n_id", "sim"])
-
-    scored = sel.mapInArrow(gen, schema=schema) \
-        .filter(F.col("q_id") != F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
