@@ -22,7 +22,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..functions.cells import cell_size
 from ..functions.geomkernel import simplify_dp

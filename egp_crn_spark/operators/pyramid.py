@@ -101,7 +101,6 @@ def rollup_level(tiles: DataFrame, tile_px: int = 16) -> DataFrame:
     sort; the kernel holds back the trailing parent of each batch so a
     group split across Arrow batches is mosaicked exactly once."""
     half = tile_px // 2
-    n_px = tile_px * tile_px * 3
 
     def fold_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def mosaic(parents: np.ndarray, cells: np.ndarray,
